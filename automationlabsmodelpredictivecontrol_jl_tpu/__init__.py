@@ -1,0 +1,101 @@
+"""TPU-native Model Predictive Control framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability matrix of
+``AutomationLabs-sh/AutomationLabsModelPredictiveControl.jl`` (importable
+form of "automationlabsmodelpredictivecontrol.jl_tpu"):
+
+- controller design from linear state-space or learned neural dynamics
+  (12 model families), with terminal-ingredient synthesis (DARE terminal
+  cost; equality / contractive / neighborhood terminal sets),
+- in-house structured solvers instead of OSQP/Ipopt/SCIP: a batched,
+  design-time-factorized ADMM QP engine and an SQP engine with jacfwd
+  linearization — vmap over thousands of scenarios, shard_map over a
+  TPU mesh.
+"""
+
+from .types import (
+    Box,
+    References,
+    Weights,
+    TerminalIngredient,
+    MpcSolution,
+    design_references,
+    STATUS_CONVERGED,
+    STATUS_MAX_ITER,
+    STATUS_PRIMAL_INFEASIBLE,
+    STATUS_DUAL_INFEASIBLE,
+    STATUS_NAMES,
+)
+from .systems import (
+    LinearContinuousSystem,
+    LinearDiscreteSystem,
+    NeuralContinuousSystem,
+    NeuralDiscreteSystem,
+    as_discrete,
+    discretize,
+    linearize,
+    linearize_to_system,
+)
+from .design import (
+    MpcController,
+    MpcTuning,
+    LinearEngine,
+    create_weights,
+    design_controller,
+)
+from .runtime import (
+    calculate,
+    solve_once,
+    step,
+    update_initialization,
+    update_references,
+)
+from .main import proceed_controller, DEFAULT_PARAMETERS
+from .ops.admm import AdmmConfig
+from .solvers.sqp import SqpConfig, SqpEngine
+from .terminal import create_terminal_ingredient, invariant_terminal_set
+from .models.zoo import MODEL_FAMILIES, init_model, rollout
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AdmmConfig",
+    "Box",
+    "DEFAULT_PARAMETERS",
+    "LinearContinuousSystem",
+    "LinearDiscreteSystem",
+    "LinearEngine",
+    "MODEL_FAMILIES",
+    "MpcController",
+    "MpcSolution",
+    "MpcTuning",
+    "NeuralContinuousSystem",
+    "NeuralDiscreteSystem",
+    "References",
+    "SqpConfig",
+    "SqpEngine",
+    "STATUS_CONVERGED",
+    "STATUS_DUAL_INFEASIBLE",
+    "STATUS_MAX_ITER",
+    "STATUS_NAMES",
+    "STATUS_PRIMAL_INFEASIBLE",
+    "TerminalIngredient",
+    "Weights",
+    "as_discrete",
+    "calculate",
+    "create_terminal_ingredient",
+    "create_weights",
+    "design_controller",
+    "design_references",
+    "discretize",
+    "init_model",
+    "invariant_terminal_set",
+    "linearize",
+    "linearize_to_system",
+    "proceed_controller",
+    "rollout",
+    "solve_once",
+    "step",
+    "update_initialization",
+    "update_references",
+]

@@ -1,0 +1,204 @@
+"""Controller design: the compile-time stage of the MPC engine.
+
+Capability parity with ``_model_predictive_control_design`` (reference
+design_mpc.jl:22-225) and its helpers (_create_weights_coefficients
+:235-283, _create_terminal_ingredient :298-394, _create_quadratic_cost
+:405-468) — but instead of building a JuMP symbolic model, design here
+precomputes *numeric solver operators*: condensed QP matrices and a
+factorized ADMM KKT system (linear path), or an SQP engine bound to the
+learned dynamics (nonlinear path). The analogue of "the JuMP model" is a
+pytree of arrays that flows straight into jit/vmap/shard_map.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+from .ops import admm as admm_ops
+from .ops.condense import CondensedQpData, condense
+from .solvers.registry import engine_for, resolve_solver
+from .systems import (
+    LinearContinuousSystem,
+    LinearDiscreteSystem,
+    NeuralContinuousSystem,
+    NeuralDiscreteSystem,
+    as_discrete,
+    linearize_to_system,
+)
+from .terminal import create_terminal_ingredient
+from .types import MpcSolution, References, TerminalIngredient, Weights, design_references
+from .utils.pytrees import pytree_dataclass, static_field
+
+Array = Any
+
+
+@pytree_dataclass
+class MpcTuning:
+    """Design-time tuning record (reference ModelPredictiveControlTuning
+    types.jl:114-122; the JuMP `modeler` field is replaced by the numeric
+    engine stored on the controller)."""
+
+    references: References
+    weights: Weights
+    terminal: TerminalIngredient
+    horizon: int = static_field()
+    sample_time: float = static_field()
+    max_time: float = static_field()
+    programming_type: str = static_field()
+    solver_name: str = static_field()
+    state_constraint: bool = static_field()
+
+
+@pytree_dataclass
+class LinearEngine:
+    """Condensed-QP + factorized-ADMM engine (the OSQP-equivalent path)."""
+
+    qp: CondensedQpData
+    op: admm_ops.AdmmOperator
+    config: admm_ops.AdmmConfig = static_field()
+
+
+@pytree_dataclass
+class MpcController:
+    """The controller object (reference ModelPredictiveControlController
+    types.jl:151-156): system + tuning + engine + mutable-by-replacement
+    runtime state (initialization vector, warm start, last results)."""
+
+    system: Any
+    tuning: MpcTuning
+    engine: Any
+    initialization: Array  # (nx,) last fixed initial state
+    warm_z: Array  # engine-specific primal warm start
+    warm_y: Array  # engine-specific dual warm start
+    results: Optional[MpcSolution]
+
+    @property
+    def nx(self) -> int:
+        return self.system.nx
+
+    @property
+    def nu(self) -> int:
+        return self.system.nu
+
+
+def create_weights(
+    nx: int, nu: int, q: float, r: float, s: float
+) -> Weights:
+    """Q = q·I(nx), R = r·I(nu), S = s·I(nu)
+    (reference _create_weights_coefficients design_mpc.jl:235-283)."""
+    return Weights(
+        Q=q * jnp.eye(nx, dtype=jnp.float32),
+        R=r * jnp.eye(nu, dtype=jnp.float32),
+        S=s * jnp.eye(nu, dtype=jnp.float32),
+    )
+
+
+def _linear_engine(
+    lin_system: LinearDiscreteSystem,
+    tuning: MpcTuning,
+    admm_config: admm_ops.AdmmConfig,
+) -> LinearEngine:
+    qp = condense(
+        lin_system.A,
+        lin_system.B,
+        tuning.horizon,
+        tuning.weights,
+        tuning.terminal,
+        tuning.references,
+        lin_system.X,
+        lin_system.U,
+        tuning.state_constraint,
+    )
+    l_np = np.asarray(qp.l_const)
+    u_np = np.asarray(qp.u_const)
+    eq_mask = np.isfinite(l_np) & np.isfinite(u_np) & (l_np == u_np)
+    op = admm_ops.build_operator(qp.P, qp.A, eq_mask, qp.n_ball, admm_config)
+    return LinearEngine(qp=qp, op=op, config=admm_config)
+
+
+def design_controller(
+    system: Any,
+    horizon: int,
+    sample_time: float,
+    x_ref: Array,
+    u_ref: Array,
+    *,
+    programming_type: Optional[str] = None,
+    solver: str = "auto",
+    terminal_ingredient: str = "none",
+    Q: float = 100.0,
+    R: float = 0.1,
+    S: float = 0.0,
+    max_time: float = 30.0,
+    state_constraint: bool = False,
+    admm_config: Optional[admm_ops.AdmmConfig] = None,
+    sqp_config: Optional[Any] = None,
+    terminal_set_depth: int = 30,
+) -> MpcController:
+    """Design an MPC controller (defaults mirror
+    _DEFAULT_PARAMETERS_MODEL_PREDICTIVE_CONTROL, main_mpc.jl:87-94;
+    default programming type is "linear" for linear systems
+    (design_mpc.jl:67) and "non_linear" for learned ones (:159))."""
+    from .solvers import sqp as sqp_mod  # local import to avoid cycle
+
+    sys_d = as_discrete(system, sample_time)
+    is_neural = isinstance(sys_d, NeuralDiscreteSystem)
+    if programming_type is None:
+        programming_type = "non_linear" if is_neural else "linear"
+    solver_name = resolve_solver(programming_type, solver)
+    engine_kind = engine_for(programming_type)
+    if not is_neural and engine_kind == "sqp":
+        # nonlinear programming over a linear model degenerates to the QP
+        engine_kind = "admm"
+        programming_type = "linear"
+
+    nx, nu = sys_d.nx, sys_d.nu
+    references = design_references(x_ref, u_ref, horizon)
+    weights = create_weights(nx, nu, Q, R, S)
+    terminal = create_terminal_ingredient(
+        sys_d, terminal_ingredient, references, weights, max_set_depth=terminal_set_depth
+    )
+
+    tuning = MpcTuning(
+        references=references,
+        weights=weights,
+        terminal=terminal,
+        horizon=horizon,
+        sample_time=float(sample_time),
+        max_time=float(max_time),
+        programming_type=programming_type,
+        solver_name=solver_name,
+        state_constraint=bool(state_constraint),
+    )
+
+    if engine_kind == "admm":
+        admm_config = admm_config or admm_ops.AdmmConfig()
+        # "Linear" programming on a learned family: linearize at the FIRST
+        # reference point then delegate to the linear modeler
+        # (fnn/...:38-46 and identically in every family).
+        lin_sys = (
+            linearize_to_system(sys_d, references.x[:, 0], references.u[:, 0])
+            if is_neural
+            else sys_d
+        )
+        engine = _linear_engine(lin_sys, tuning, admm_config)
+        m = engine.op.A_s.shape[0]
+        n = engine.op.A_s.shape[1]
+        warm_z = jnp.zeros((n,), jnp.float32)
+        warm_y = jnp.zeros((m,), jnp.float32)
+    else:
+        engine = sqp_mod.build_engine(sys_d, tuning, sqp_config)
+        warm_z, warm_y = sqp_mod.initial_warm_state(engine, tuning)
+
+    return MpcController(
+        system=sys_d,
+        tuning=tuning,
+        engine=engine,
+        initialization=jnp.zeros((nx,), jnp.float32),
+        warm_z=warm_z,
+        warm_y=warm_y,
+        results=None,
+    )

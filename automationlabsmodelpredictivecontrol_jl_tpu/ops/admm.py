@@ -1,0 +1,457 @@
+"""Batched OSQP-style ADMM QP solver, TPU-native.
+
+In-house replacement for the reference's native OSQP back-end (C, reached
+via solver_selection.jl:92-98). Same operator-splitting algorithm
+(ADMM with relaxation, Ruiz equilibration, per-row penalty), redesigned for
+the TPU execution model:
+
+- The KKT system (P + sigma*I + A' diag(rho) A) is factorized (inverted)
+  ONCE at controller-design time — the iteration body is then nothing but
+  dense matvecs, so a vmapped batch of solves compiles to large GEMMs that
+  tile onto the MXU.
+- Fixed-shape, branchless inner loop: `lax.while_loop` whose predicate
+  vectorizes under vmap into "run until every lane converged" (adaptive
+  mode), or a fixed-cost `fori_loop` with diagnostics hoisted out of the
+  loop (lean mode, for throughput benchmarking).
+- Per-scenario termination status / iteration count / residuals are
+  first-class outputs (a vmapped batch cannot throw; the reference never
+  even checks termination status, computation_mpc.jl:38-55).
+- Supports a trailing Euclidean-ball block in the constraint rows
+  (projection instead of interval clipping) — this is how the
+  "contractive" terminal ingredient (design_mpc.jl:333-340) is enforced
+  without leaving the QP world (the reference needs a QCQP-capable NLP
+  solver for it; here the ball projection is one rsqrt).
+
+Solves:  min 0.5 z'Pz + q'z   s.t.  l <= A z <= u  (box rows)
+                                    ||(A z)_ball + c_ball|| <= r_ball
+
+Scaling conventions (OSQP §5): P_s = c D P D, q_s = c D q, A_s = E A D,
+l_s = E l, u_s = E u; unscale with z = D z_s, y = E y_s / c.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import (
+    STATUS_CONVERGED,
+    STATUS_DUAL_INFEASIBLE,
+    STATUS_MAX_ITER,
+    STATUS_PRIMAL_INFEASIBLE,
+)
+from ..utils.pytrees import pytree_dataclass, static_field
+
+Array = Any
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _mv(M, v):
+    return jnp.matmul(M, v, precision=HIGHEST)
+
+
+@dataclasses.dataclass(frozen=True)
+class AdmmConfig:
+    """Solver knobs (static: part of the jit cache key)."""
+
+    max_iter: int = 250
+    sigma: float = 1e-6
+    alpha: float = 1.6
+    rho: float = 0.1
+    # OSQP uses 1e3 (in f64); in the f32 hot loop a 1e3 equality-row rho
+    # amplifies roundoff past the residual tolerance — 1e2 converges.
+    rho_eq_scale: float = 1e2
+    eps_abs: float = 1e-6
+    eps_rel: float = 1e-6
+    eps_infeas: float = 1e-5
+    refine_steps: int = 1
+    scaling_iters: int = 10
+    adaptive: bool = True  # while_loop early exit vs fixed-cost fori_loop
+
+
+@pytree_dataclass
+class AdmmOperator:
+    """Design-time-precomputed solver operator for one QP structure."""
+
+    P_s: Array  # (n, n) scaled
+    A_s: Array  # (m, n) scaled
+    K: Array  # (n, n) = P_s + sigma I + A_s' diag(rho) A_s
+    K_inv: Array  # (n, n)
+    rho_vec: Array  # (m,)
+    rho_inv: Array  # (m,)
+    D: Array  # (n,)
+    E: Array  # (m,)
+    c: Array  # ()
+    n_ball: int = static_field()
+
+
+@pytree_dataclass
+class AdmmResult:
+    z: Array  # (n,) primal solution (unscaled)
+    y: Array  # (m,) dual solution (unscaled)
+    s: Array  # (m,) constraint-space solution (unscaled)
+    status: Array  # int32
+    iterations: Array  # int32
+    primal_residual: Array
+    dual_residual: Array
+
+
+def _ruiz_equilibrate(P: np.ndarray, A: np.ndarray, n_ball: int, iters: int):
+    """Modified Ruiz equilibration (OSQP §5): diagonals D, E and cost scale c
+    bringing the scaled KKT matrix to near-unit row/col inf-norms. Ball rows
+    get one uniform scale so balls stay balls. Host-side, float64."""
+    n = P.shape[0]
+    m = A.shape[0]
+    D = np.ones(n)
+    E = np.ones(m)
+    c = 1.0
+    Pc = P.copy()
+    Ac = A.copy()
+    for _ in range(iters):
+        col_norm = np.maximum(np.abs(Pc).max(axis=0), np.abs(Ac).max(axis=0))
+        row_norm = np.abs(Ac).max(axis=1)
+        if n_ball:
+            rows = slice(m - n_ball, m)
+            gm = np.exp(np.mean(np.log(np.maximum(row_norm[rows], 1e-12))))
+            row_norm[rows] = gm
+        # zero-norm columns/rows (unconstrained free directions) keep scale 1;
+        # clipping them instead compounds a 1e4 factor per sweep -> inf.
+        d = np.where(col_norm > 1e-12, 1.0 / np.sqrt(np.clip(col_norm, 1e-8, 1e8)), 1.0)
+        e = np.where(row_norm > 1e-12, 1.0 / np.sqrt(np.clip(row_norm, 1e-8, 1e8)), 1.0)
+        Pc = (d[:, None] * Pc) * d[None, :]
+        Ac = (e[:, None] * Ac) * d[None, :]
+        D *= d
+        E *= e
+        gamma = min(1.0 / max(np.mean(np.abs(Pc).max(axis=0)), 1e-8), 1e8)
+        Pc *= gamma
+        c *= gamma
+    return Pc, Ac, D, E, c
+
+
+def build_operator(
+    P: Array,
+    A: Array,
+    eq_row_mask: Array,
+    n_ball: int = 0,
+    config: AdmmConfig = AdmmConfig(),
+) -> AdmmOperator:
+    """Precompute the ADMM operator: equilibration + KKT factorization.
+
+    Host-side, float64 internally (runs once per controller design — the
+    analogue of the reference's JuMP model build, SURVEY call stack 3.1),
+    stored float32 for the TPU runtime hot loop.
+    """
+    P64 = np.asarray(P, np.float64)
+    A64 = np.asarray(A, np.float64)
+    n = P64.shape[0]
+    P_s, A_s, D, E, c = _ruiz_equilibrate(P64, A64, n_ball, config.scaling_iters)
+
+    eq = np.asarray(eq_row_mask, bool)
+    rho_vec = np.where(eq, config.rho * config.rho_eq_scale, config.rho)
+    K = P_s + config.sigma * np.eye(n) + (A_s.T * rho_vec) @ A_s
+    K_inv = np.linalg.inv(K)
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    return AdmmOperator(
+        P_s=f32(P_s),
+        A_s=f32(A_s),
+        K=f32(K),
+        K_inv=f32(K_inv),
+        rho_vec=f32(rho_vec),
+        rho_inv=f32(1.0 / rho_vec),
+        D=f32(D),
+        E=f32(E),
+        c=jnp.asarray(c, jnp.float32),
+        n_ball=n_ball,
+    )
+
+
+def build_operator_traced(
+    P: Array,
+    A: Array,
+    eq_row_mask: Array,
+    n_ball: int = 0,
+    config: AdmmConfig = AdmmConfig(),
+    scaling_iters: int = 3,
+) -> AdmmOperator:
+    """jit/vmap-friendly operator build (traced, float32).
+
+    Used where the QP matrices are themselves traced values — e.g. the LTV
+    Gauss-Newton subproblems inside the SQP loop, re-built every outer
+    iteration. Runs a few Ruiz sweeps in jnp and factorizes K with
+    jnp.linalg.inv (batched small dense inverse — fine on the MXU).
+    eq_row_mask must be a *static* numpy bool array (row structure is
+    static even when values are traced).
+    """
+    dt = jnp.float32
+    P_s = jnp.asarray(P, dt)
+    A_s = jnp.asarray(A, dt)
+    m, n = A_s.shape
+    D = jnp.ones((n,), dt)
+    E = jnp.ones((m,), dt)
+    c = jnp.asarray(1.0, dt)
+    if n_ball:
+        ball_sel = jnp.zeros((m,), bool).at[m - n_ball :].set(True)
+    for _ in range(scaling_iters):
+        col_norm = jnp.maximum(
+            jnp.max(jnp.abs(P_s), axis=0), jnp.max(jnp.abs(A_s), axis=0)
+        )
+        row_norm = jnp.max(jnp.abs(A_s), axis=1)
+        if n_ball:
+            gm = jnp.exp(
+                jnp.mean(jnp.log(jnp.maximum(row_norm[m - n_ball :], 1e-12)))
+            )
+            row_norm = jnp.where(ball_sel, gm, row_norm)
+        d = jnp.where(
+            col_norm > 1e-12, 1.0 / jnp.sqrt(jnp.clip(col_norm, 1e-8, 1e8)), 1.0
+        )
+        e = jnp.where(
+            row_norm > 1e-12, 1.0 / jnp.sqrt(jnp.clip(row_norm, 1e-8, 1e8)), 1.0
+        )
+        P_s = d[:, None] * P_s * d[None, :]
+        A_s = e[:, None] * A_s * d[None, :]
+        D = D * d
+        E = E * e
+        gamma = jnp.clip(
+            1.0 / jnp.maximum(jnp.mean(jnp.max(jnp.abs(P_s), axis=0)), 1e-8),
+            a_max=1e8,
+        )
+        P_s = P_s * gamma
+        c = c * gamma
+
+    eq = np.asarray(eq_row_mask, bool)
+    rho_vec = jnp.asarray(
+        np.where(eq, config.rho * config.rho_eq_scale, config.rho), dt
+    )
+    K = P_s + config.sigma * jnp.eye(n, dtype=dt) + (A_s.T * rho_vec) @ A_s
+    K_inv = jnp.linalg.inv(K)
+    return AdmmOperator(
+        P_s=P_s,
+        A_s=A_s,
+        K=K,
+        K_inv=K_inv,
+        rho_vec=rho_vec,
+        rho_inv=1.0 / rho_vec,
+        D=D,
+        E=E,
+        c=c,
+        n_ball=n_ball,
+    )
+
+
+def _project(
+    op: AdmmOperator,
+    v: Array,
+    l_s: Array,
+    u_s: Array,
+    ball_c_s,
+    ball_r_s,
+    soft_shrink_s=None,
+):
+    """Prox step onto the scaled constraint set: interval clip on box rows
+    (or, for soft rows, the prox of a penalized L1 distance — shrinkage
+    toward the interval), and Euclidean-ball projection on the trailing
+    ball block."""
+    clipped = jnp.clip(v, l_s, u_s)
+    if soft_shrink_s is None:
+        out = clipped
+    else:
+        # prox of mu*dist_1(s, [l,u]) at v:  above: max(u, v - mu/rho),
+        # below: min(l, v + mu/rho); hard rows have shrink = inf -> clip.
+        above = jnp.maximum(u_s, v - soft_shrink_s)
+        below = jnp.minimum(l_s, v + soft_shrink_s)
+        out = jnp.where(v > u_s, above, jnp.where(v < l_s, below, v))
+    if op.n_ball:
+        nb = op.n_ball
+        w = v[-nb:] + ball_c_s
+        nrm = jnp.linalg.norm(w)
+        scale = jnp.where(nrm > ball_r_s, ball_r_s / jnp.maximum(nrm, 1e-30), 1.0)
+        out = out.at[-nb:].set(w * scale - ball_c_s)
+    return out
+
+
+def solve(
+    op: AdmmOperator,
+    q: Array,
+    l: Array,
+    u: Array,
+    ball_c: Array,
+    ball_r: Array,
+    z0: Optional[Array] = None,
+    y0: Optional[Array] = None,
+    config: AdmmConfig = AdmmConfig(),
+    soft_mu: Optional[Array] = None,
+) -> AdmmResult:
+    """Solve one QP instance (vmap over the leading axis of q/l/u/ball_c/
+    ball_r/z0/y0 to batch scenarios; `op` broadcasts).
+
+    Warm start: pass z0 (primal) / y0 (dual), unscaled, from the previous
+    receding-horizon step — the explicit warm-start carry the reference only
+    gets implicitly from OSQP internals (SURVEY §5).
+    """
+    n = op.P_s.shape[0]
+    m = op.A_s.shape[0]
+    dt = op.P_s.dtype
+    sigma = jnp.asarray(config.sigma, dt)
+    alpha = jnp.asarray(config.alpha, dt)
+
+    q_s = op.c * op.D * q
+    l_s = op.E * l
+    u_s = op.E * u
+    if op.n_ball:
+        E_ball = op.E[m - op.n_ball]  # uniform across ball rows by construction
+        ball_c_s = E_ball * ball_c
+        ball_r_s = E_ball * ball_r
+    else:
+        ball_c_s = jnp.zeros((0,), dt)
+        ball_r_s = jnp.asarray(0.0, dt)
+
+    # soft rows: shrink amount in scaled space (inf -> hard projection)
+    shrink_s = None if soft_mu is None else soft_mu / (op.E * op.rho_vec)
+
+    x0_s = jnp.zeros((n,), dt) if z0 is None else z0 / op.D
+    y0_s = jnp.zeros((m,), dt) if y0 is None else op.c * y0 / op.E
+    Ax0 = _mv(op.A_s, x0_s)
+    s0 = _project(op, Ax0 + op.rho_inv * y0_s, l_s, u_s, ball_c_s, ball_r_s, shrink_s)
+
+    D_inv = 1.0 / op.D
+    E_inv = 1.0 / op.E
+    c_inv = 1.0 / op.c
+
+    def refine(xt, rhs):
+        for _ in range(config.refine_steps):
+            xt = xt + _mv(op.K_inv, rhs - _mv(op.K, xt))
+        return xt
+
+    def step(x, s, y, Ax):
+        """One ADMM iteration (scaled space). Returns new (x, s, y, Ax) and
+        the previous duals/primal for certificate deltas."""
+        rhs = sigma * x - q_s + _mv(op.A_s.T, op.rho_vec * s - y)
+        xt = refine(_mv(op.K_inv, rhs), rhs)
+        st = _mv(op.A_s, xt)
+        x_new = alpha * xt + (1.0 - alpha) * x
+        v = alpha * st + (1.0 - alpha) * s  # relax with the projected var (OSQP alg. 1)
+        s_new = _project(op, v + op.rho_inv * y, l_s, u_s, ball_c_s, ball_r_s, shrink_s)
+        y_new = y + op.rho_vec * (v - s_new)
+        Ax_new = alpha * st + (1.0 - alpha) * Ax  # true A @ x_new, residuals only
+        return x_new, s_new, y_new, Ax_new
+
+    def diagnostics(x, s, y, Ax, x_prev, y_prev):
+        """Unscaled residuals, convergence + infeasibility certificates."""
+        r_prim = jnp.max(jnp.abs(E_inv * (Ax - s)))
+        Px = _mv(op.P_s, x)
+        Aty = _mv(op.A_s.T, y)
+        r_dual = c_inv * jnp.max(jnp.abs(D_inv * (Px + q_s + Aty)))
+
+        eps_prim = config.eps_abs + config.eps_rel * jnp.maximum(
+            jnp.max(jnp.abs(E_inv * Ax)), jnp.max(jnp.abs(E_inv * s))
+        )
+        eps_dual = config.eps_abs + config.eps_rel * c_inv * jnp.maximum(
+            jnp.maximum(
+                jnp.max(jnp.abs(D_inv * Px)), jnp.max(jnp.abs(D_inv * Aty))
+            ),
+            jnp.max(jnp.abs(D_inv * q_s)),
+        )
+        converged = (r_prim <= eps_prim) & (r_dual <= eps_dual)
+
+        # primal infeasibility certificate from the dual delta (OSQP §3.4)
+        dys = y - y_prev  # scaled
+        dy = op.E * dys * c_inv  # unscaled
+        dy_norm = jnp.max(jnp.abs(dy))
+        Atdy = c_inv * jnp.max(jnp.abs(D_inv * _mv(op.A_s.T, dys)))
+        dy_plus = jnp.maximum(dy, 0.0)
+        dy_minus = jnp.minimum(dy, 0.0)
+        support = jnp.sum(
+            jnp.where(dy_plus > 0, jnp.where(jnp.isfinite(u), u * dy_plus, jnp.inf), 0.0)
+            + jnp.where(dy_minus < 0, jnp.where(jnp.isfinite(l), l * dy_minus, jnp.inf), 0.0)
+        )
+        prim_infeas = (
+            (dy_norm > 1e-12)
+            & (Atdy <= config.eps_infeas * dy_norm)
+            & (support <= -config.eps_infeas * dy_norm)
+        )
+
+        # dual infeasibility certificate from the primal delta
+        dxs = x - x_prev
+        dx = op.D * dxs
+        dx_norm = jnp.max(jnp.abs(dx))
+        Pdx = c_inv * jnp.max(jnp.abs(D_inv * _mv(op.P_s, dxs)))
+        qdx = c_inv * jnp.sum(q_s * dxs)
+        Adx = E_inv * _mv(op.A_s, dxs)
+        dir_ok = jnp.all(
+            jnp.where(jnp.isfinite(u), Adx <= config.eps_infeas * dx_norm, True)
+            & jnp.where(jnp.isfinite(l), Adx >= -config.eps_infeas * dx_norm, True)
+        )
+        dual_infeas = (
+            (dx_norm > 1e-12)
+            & (Pdx <= config.eps_infeas * dx_norm)
+            & (qdx <= -config.eps_infeas * dx_norm)
+            & dir_ok
+        )
+
+        status = jnp.where(
+            converged,
+            STATUS_CONVERGED,
+            jnp.where(
+                prim_infeas,
+                STATUS_PRIMAL_INFEASIBLE,
+                jnp.where(dual_infeas, STATUS_DUAL_INFEASIBLE, STATUS_MAX_ITER),
+            ),
+        ).astype(jnp.int32)
+        done = converged | prim_infeas | dual_infeas
+        return r_prim, r_dual, done, status
+
+    if config.adaptive:
+
+        def body(state):
+            x, s, y, Ax, it, _, _, _, _ = state
+            x_new, s_new, y_new, Ax_new = step(x, s, y, Ax)
+            r_prim, r_dual, done, status = diagnostics(
+                x_new, s_new, y_new, Ax_new, x, y
+            )
+            return (x_new, s_new, y_new, Ax_new, it + 1, r_prim, r_dual, done, status)
+
+        def cond(state):
+            it, done = state[4], state[7]
+            return (~done) & (it < config.max_iter)
+
+        init = (
+            x0_s,
+            s0,
+            y0_s,
+            Ax0,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(jnp.inf, dt),
+            jnp.asarray(jnp.inf, dt),
+            jnp.asarray(False),
+            jnp.asarray(STATUS_MAX_ITER, jnp.int32),
+        )
+        x_f, s_f, y_f, Ax_f, it_f, rp, rd, done, status = jax.lax.while_loop(
+            cond, body, init
+        )
+    else:
+        # lean fixed-cost loop: no diagnostics inside, one check at the end
+        def body(i, state):
+            x, s, y, Ax = state
+            return step(x, s, y, Ax)
+
+        x_p, s_p, y_p, Ax_p = jax.lax.fori_loop(
+            0, config.max_iter - 1, body, (x0_s, s0, y0_s, Ax0)
+        )
+        x_f, s_f, y_f, Ax_f = step(x_p, s_p, y_p, Ax_p)
+        rp, rd, done, status = diagnostics(x_f, s_f, y_f, Ax_f, x_p, y_p)
+        it_f = jnp.asarray(config.max_iter, jnp.int32)
+
+    return AdmmResult(
+        z=op.D * x_f,
+        y=op.E * y_f * (1.0 / op.c),
+        s=E_inv * s_f,
+        status=status,
+        iterations=it_f,
+        primal_residual=rp,
+        dual_residual=rd,
+    )

@@ -1,0 +1,168 @@
+"""Runtime: the receding-horizon hot loop.
+
+Capability parity with the reference's computation layer
+(src/main/computation_mpc.jl):
+
+- update_initialization (computation_mpc.jl:17-29): functional — returns a
+  new controller with the measured state pinned (the reference mutates the
+  JuMP model with JuMP.fix; here x0 only enters the runtime QP vectors, a
+  few GEMVs at solve time).
+- calculate (computation_mpc.jl:38-55): solve + extract trajectories. The
+  reference crosses the ABI boundary into OSQP/Ipopt here (SURVEY §3.2);
+  we run the in-house ADMM/SQP engines fully on-device, jit/vmap-able.
+- step: fused update_initialization + calculate + warm-start carry — the
+  jittable function a control loop should call every sample time.
+- update_references: working re-tuning semantics for the reference's
+  exported-but-undefined update!/update_and_compute! (computation_mpc.jl:58-284,
+  Chen & Allgöwer quasi-infinite-horizon refresh): new references re-solve
+  the DARE and rebuild the terminal ingredient + QP operators.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .design import LinearEngine, MpcController, MpcTuning
+from .ops import admm as admm_ops
+from .ops.condense import runtime_qp_vectors
+from .solvers import sqp as sqp_mod
+from .solvers.sqp import true_objective
+from .types import (
+    STATUS_PRIMAL_INFEASIBLE,
+    MpcSolution,
+)
+
+Array = Any
+
+
+def _solve_linear(
+    engine: LinearEngine,
+    tuning: MpcTuning,
+    system,
+    x0: Array,
+    warm_z: Array,
+    warm_y: Array,
+) -> Tuple[MpcSolution, Array, Array]:
+    qp = engine.qp
+    refs = tuning.references
+    e0 = x0 - refs.x[:, 0]
+    q, l, u, ball_c, ball_r = runtime_qp_vectors(qp, e0)
+    res = admm_ops.solve(
+        engine.op, q, l, u, ball_c, ball_r, warm_z, warm_y, config=engine.config
+    )
+
+    N, nx, nu = qp.N, qp.nx, qp.nu
+    z = res.z
+    ex_tail = (qp.G_flat @ z + qp.F.reshape(N * nx, nx) @ e0).reshape(N, nx)
+    ex = jnp.concatenate([e0[None], ex_tail], axis=0)  # (N+1, nx)
+    eu = z.reshape(N, nu)
+    xs = ex + refs.x.T
+    us = eu + refs.u.T
+
+    status = res.status
+    if tuning.state_constraint:
+        # the reference also poses a box row on the (fixed) first state
+        # (linear/...:64-69); with x0 pinned it is a pure feasibility check.
+        x0_ok = jnp.all((x0 >= system.X.lo) & (x0 <= system.X.hi))
+        status = jnp.where(x0_ok, status, STATUS_PRIMAL_INFEASIBLE).astype(jnp.int32)
+
+    sol = MpcSolution(
+        x=xs.T,
+        e_x=ex.T,
+        u=us.T,
+        e_u=eu.T,
+        status=status,
+        iterations=res.iterations,
+        primal_residual=res.primal_residual,
+        dual_residual=res.dual_residual,
+        objective=true_objective(tuning, xs, us),
+    )
+    # receding-horizon warm-start carry: shift the input plan one step
+    z_shift = jnp.concatenate([eu[1:], eu[-1:]], axis=0).reshape(-1)
+    return sol, z_shift, res.y
+
+
+def _solve_sqp(
+    engine, tuning: MpcTuning, system, x0: Array, warm_z: Array, warm_y: Array
+) -> Tuple[MpcSolution, Array, Array]:
+    sol, u_f, y_f = sqp_mod.solve_nonlinear(system, tuning, engine, x0, warm_z, warm_y)
+    u_next = sqp_mod.shift_warm(u_f, tuning.horizon, system.nu)
+    return sol, u_next, y_f
+
+
+def solve_once(
+    controller: MpcController, x0: Array, warm_z: Array, warm_y: Array
+) -> Tuple[MpcSolution, Array, Array]:
+    """Pure solve at state x0 with explicit warm state (vmap-friendly:
+    map over (x0, warm_z, warm_y) for batched scenario solves)."""
+    if isinstance(controller.engine, LinearEngine):
+        return _solve_linear(
+            controller.engine, controller.tuning, controller.system, x0, warm_z, warm_y
+        )
+    return _solve_sqp(
+        controller.engine, controller.tuning, controller.system, x0, warm_z, warm_y
+    )
+
+
+def update_initialization(controller: MpcController, x0: Array) -> MpcController:
+    """Pin the measured state (reference update_initialization!,
+    computation_mpc.jl:17-29 — the only thing that changes between solves)."""
+    return controller.replace(initialization=jnp.asarray(x0, jnp.float32))
+
+
+def calculate(controller: MpcController) -> MpcController:
+    """Solve at the pinned state; store results + warm state on the
+    controller (reference calculate!, computation_mpc.jl:38-55)."""
+    sol, wz, wy = solve_once(
+        controller, controller.initialization, controller.warm_z, controller.warm_y
+    )
+    return controller.replace(results=sol, warm_z=wz, warm_y=wy)
+
+
+def step(
+    controller: MpcController, x0: Array
+) -> Tuple[MpcController, MpcSolution]:
+    """update_initialization + calculate, fused; jit this."""
+    c = update_initialization(controller, x0)
+    sol, wz, wy = solve_once(c, c.initialization, c.warm_z, c.warm_y)
+    return c.replace(results=sol, warm_z=wz, warm_y=wy), sol
+
+
+def update_references(
+    controller: MpcController, x_ref: Array, u_ref: Array
+) -> MpcController:
+    """Re-tune the controller for new references: rebuilds reference
+    trajectories, terminal ingredient (fresh DARE at the new endpoint) and
+    the QP/ADMM operators. Working semantics for the reference's
+    exported-but-undefined update! (computation_mpc.jl:159-284)."""
+    from .design import design_controller
+
+    t = controller.tuning
+    import numpy as np
+
+    Q = float(np.asarray(t.weights.Q)[0, 0])
+    R = float(np.asarray(t.weights.R)[0, 0])
+    S = float(np.asarray(t.weights.S)[0, 0])
+    new = design_controller(
+        controller.system,
+        t.horizon,
+        t.sample_time,
+        x_ref,
+        u_ref,
+        programming_type=t.programming_type,
+        solver=t.solver_name,
+        terminal_ingredient=t.terminal.kind,
+        Q=Q,
+        R=R,
+        S=S,
+        max_time=t.max_time,
+        state_constraint=t.state_constraint,
+    )
+    return new.replace(
+        initialization=controller.initialization,
+        warm_z=controller.warm_z,
+        warm_y=controller.warm_y,
+    )

@@ -1,0 +1,25 @@
+"""Test configuration: force CPU with 8 virtual devices so sharding tests
+run without real multi-chip hardware (SURVEY.md §4 implications: the
+reference never had distributed tests; we validate meshes on a virtual
+8-device CPU topology)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402  (import after env setup)
+
+# The environment may force a TPU platform plugin via sitecustomize (jax is
+# then already imported before this file runs and the env var alone is too
+# late) — override post-import so tests always run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
+# persistent compilation cache: compile-once across test runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mpc")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -1,0 +1,151 @@
+"""ADMM QP engine vs scipy oracle + status/infeasibility semantics
+(the in-house OSQP replacement, SURVEY §2.9)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import LinearConstraint, minimize
+
+import automationlabsmodelpredictivecontrol_jl_tpu as mpc
+from automationlabsmodelpredictivecontrol_jl_tpu.ops import admm
+
+
+def _random_qp(seed, n=8, m=12):
+    rng = np.random.default_rng(seed)
+    M = rng.normal(size=(n, n))
+    P = M @ M.T + 0.1 * np.eye(n)
+    q = rng.normal(size=n)
+    A = rng.normal(size=(m, n))
+    z0 = rng.normal(size=n)
+    slack = rng.uniform(0.1, 1.0, size=m)
+    Az = A @ z0
+    return P, q, A, Az - slack, Az + slack
+
+
+def _oracle(P, q, A, l, u):
+    fun = lambda z: 0.5 * z @ P @ z + q @ z
+    jac = lambda z: P @ z + q
+    res = minimize(
+        fun, np.zeros(P.shape[0]), jac=jac,
+        constraints=[LinearConstraint(A, l, u)],
+        method="SLSQP", options={"maxiter": 800, "ftol": 1e-14},
+    )
+    if not res.success:  # SLSQP can stall on ill-conditioned QPs
+        res = minimize(
+            fun, np.zeros(P.shape[0]), jac=jac, hess=lambda z: P,
+            constraints=[LinearConstraint(A, l, u)],
+            method="trust-constr", options={"maxiter": 3000, "gtol": 1e-12},
+        )
+    assert res.success
+    return res.x
+
+
+def _solve(P, q, A, l, u, config=None, **kw):
+    config = config or admm.AdmmConfig(max_iter=5000, eps_abs=1e-6, eps_rel=1e-6)
+    eq = np.isfinite(l) & np.isfinite(u) & (l == u)
+    op = admm.build_operator(P, A, eq, 0, config)
+    return admm.solve(
+        op, jnp.asarray(q, jnp.float32), jnp.asarray(l, jnp.float32),
+        jnp.asarray(u, jnp.float32), jnp.zeros((0,), jnp.float32),
+        jnp.asarray(0.0, jnp.float32), config=config, **kw
+    )
+
+
+def test_random_qps_match_oracle():
+    for seed in range(4):
+        P, q, A, l, u = _random_qp(seed)
+        res = _solve(P, q, A, l, u)
+        assert int(res.status) == mpc.STATUS_CONVERGED
+        z_ref = _oracle(P, q, A, l, u)
+        np.testing.assert_allclose(np.asarray(res.z, np.float64), z_ref, atol=2e-3)
+
+
+def test_equality_rows_respected():
+    P, q, A, l, u = _random_qp(5)
+    pin = 0.5 * (l[0] + u[0])  # feasible by construction
+    l[0] = u[0] = pin
+    res = _solve(P, q, A, l, u)
+    assert int(res.status) == mpc.STATUS_CONVERGED
+    z = np.asarray(res.z, np.float64)
+    assert abs(A[0] @ z - pin) < 1e-4
+
+
+def test_primal_infeasible_detected():
+    # contradictory rows: z_0 >= 1 and z_0 <= -1
+    n = 4
+    P = np.eye(n)
+    q = np.zeros(n)
+    A = np.zeros((2, n))
+    A[0, 0] = 1.0
+    A[1, 0] = 1.0
+    l = np.asarray([1.0, -np.inf])
+    u = np.asarray([np.inf, -1.0])
+    res = _solve(P, q, A, l, u)
+    assert int(res.status) == mpc.STATUS_PRIMAL_INFEASIBLE
+
+
+def test_dual_infeasible_detected():
+    # unbounded: zero curvature direction with strictly negative slope, no bound
+    n = 2
+    P = np.diag([1.0, 0.0])
+    q = np.asarray([0.0, -1.0])
+    A = np.asarray([[1.0, 0.0]])
+    l = np.asarray([-1.0])
+    u = np.asarray([1.0])
+    res = _solve(P, q, A, l, u)
+    assert int(res.status) == mpc.STATUS_DUAL_INFEASIBLE
+
+
+def test_warm_start_reduces_iterations():
+    P, q, A, l, u = _random_qp(7)
+    cfg = admm.AdmmConfig(max_iter=4000, eps_abs=1e-6, eps_rel=1e-6)
+    res_cold = _solve(P, q, A, l, u, config=cfg)
+    res_warm = _solve(P, q, A, l, u, config=cfg, z0=res_cold.z, y0=res_cold.y)
+    assert int(res_warm.iterations) < int(res_cold.iterations)
+    assert int(res_warm.status) == mpc.STATUS_CONVERGED
+
+
+def test_ball_projection_block():
+    # min ||z - z*||^2 s.t. ||z|| <= r with r < ||z*|| -> solution on sphere
+    n = 3
+    P = 2.0 * np.eye(n)
+    zstar = np.asarray([1.0, 1.0, 1.0])
+    q = -2.0 * zstar
+    A = np.eye(n)
+    l = np.full(n, -np.inf)
+    u = np.full(n, np.inf)
+    cfg = admm.AdmmConfig(max_iter=4000, eps_abs=1e-7, eps_rel=1e-7)
+    eq = np.zeros(n, bool)
+    op = admm.build_operator(P, A, eq, n_ball=n, config=cfg)
+    r = 0.5
+    res = admm.solve(
+        op, jnp.asarray(q, jnp.float32), jnp.asarray(l, jnp.float32),
+        jnp.asarray(u, jnp.float32), jnp.zeros((n,), jnp.float32),
+        jnp.asarray(r, jnp.float32), config=cfg,
+    )
+    z = np.asarray(res.z, np.float64)
+    expected = zstar / np.linalg.norm(zstar) * r
+    np.testing.assert_allclose(z, expected, atol=1e-3)
+
+
+def test_vmapped_batch_statuses():
+    P, q, A, l, u = _random_qp(9)
+    cfg = admm.AdmmConfig(max_iter=2000, eps_abs=1e-6, eps_rel=1e-6)
+    eq = np.isfinite(l) & np.isfinite(u) & (l == u)
+    op = admm.build_operator(P, A, eq, 0, cfg)
+    B = 16
+    rng = np.random.default_rng(11)
+    qs = jnp.asarray(q[None, :] + 0.1 * rng.normal(size=(B, q.size)), jnp.float32)
+
+    def one(qi):
+        return admm.solve(
+            op, qi, jnp.asarray(l, jnp.float32), jnp.asarray(u, jnp.float32),
+            jnp.zeros((0,), jnp.float32), jnp.asarray(0.0, jnp.float32), config=cfg,
+        )
+
+    res = jax.vmap(one)(qs)
+    assert res.z.shape == (B, q.size)
+    assert np.all(np.asarray(res.status) == mpc.STATUS_CONVERGED)
+    # spot check one lane against the oracle
+    z_ref = _oracle(P, np.asarray(qs[3], np.float64), A, l, u)
+    np.testing.assert_allclose(np.asarray(res.z[3], np.float64), z_ref, atol=1e-3)
