@@ -61,17 +61,24 @@ def linearized_discrete_system(
     x_op=None, u_op=None, dt: float = SAMPLE_TIME
 ) -> LinearDiscreteSystem:
     """Discrete linearization of the QTP around an operating point — the
-    stand-in for the reference's learned `linear_regressor` fixture."""
-    x_op = jnp.asarray([0.65, 0.65, 0.65, 0.65], jnp.float32) if x_op is None else x_op
-    u_op = jnp.asarray([1.2, 1.2], jnp.float32) if u_op is None else u_op
-    Ac = jax.jacfwd(qtp_ode, argnums=0)(x_op, u_op)
-    Bc = jax.jacfwd(qtp_ode, argnums=1)(x_op, u_op)
-    # exact ZOH via augmented expm
-    nx, nu = Bc.shape
-    M = jnp.zeros((nx + nu, nx + nu))
-    M = M.at[:nx, :nx].set(Ac).at[:nx, nx:].set(Bc) * dt
-    E = jax.scipy.linalg.expm(M)
-    return LinearDiscreteSystem(A=E[:nx, :nx], B=E[:nx, nx:], X=X_BOX, U=U_BOX)
+    stand-in for the reference's learned `linear_regressor` fixture.
+    Host-side (CPU-pinned) design-time computation."""
+    from ..utils.devices import design_scope
+
+    with design_scope():
+        x_op = (
+            jnp.asarray([0.65, 0.65, 0.65, 0.65], jnp.float32)
+            if x_op is None else x_op
+        )
+        u_op = jnp.asarray([1.2, 1.2], jnp.float32) if u_op is None else u_op
+        Ac = jax.jacfwd(qtp_ode, argnums=0)(x_op, u_op)
+        Bc = jax.jacfwd(qtp_ode, argnums=1)(x_op, u_op)
+        # exact ZOH via augmented expm
+        nx, nu = Bc.shape
+        M = jnp.zeros((nx + nu, nx + nu))
+        M = M.at[:nx, :nx].set(Ac).at[:nx, nx:].set(Bc) * dt
+        E = jax.scipy.linalg.expm(M)
+        return LinearDiscreteSystem(A=E[:nx, :nx], B=E[:nx, nx:], X=X_BOX, U=U_BOX)
 
 
 def neural_continuous_system(apply_fn, params) -> NeuralContinuousSystem:

@@ -141,8 +141,46 @@ def design_controller(
     """Design an MPC controller (defaults mirror
     _DEFAULT_PARAMETERS_MODEL_PREDICTIVE_CONTROL, main_mpc.jl:87-94;
     default programming type is "linear" for linear systems
-    (design_mpc.jl:67) and "non_linear" for learned ones (:159))."""
+    (design_mpc.jl:67) and "non_linear" for learned ones (:159)).
+
+    Runs pinned to the host CPU backend (design is a once-per-controller
+    eager phase; see utils/devices.py) — the operator pytree moves to the
+    accelerator with the first jitted solve.
+    """
     from .solvers import sqp as sqp_mod  # local import to avoid cycle
+    from .utils.devices import design_scope
+
+    with design_scope():
+        return _design_controller_impl(
+            system, horizon, sample_time, x_ref, u_ref,
+            programming_type=programming_type, solver=solver,
+            terminal_ingredient=terminal_ingredient, Q=Q, R=R, S=S,
+            max_time=max_time, state_constraint=state_constraint,
+            admm_config=admm_config, sqp_config=sqp_config,
+            terminal_set_depth=terminal_set_depth, sqp_mod=sqp_mod,
+        )
+
+
+def _design_controller_impl(
+    system: Any,
+    horizon: int,
+    sample_time: float,
+    x_ref: Array,
+    u_ref: Array,
+    *,
+    programming_type: Optional[str],
+    solver: str,
+    terminal_ingredient: str,
+    Q: float,
+    R: float,
+    S: float,
+    max_time: float,
+    state_constraint: bool,
+    admm_config: Optional[admm_ops.AdmmConfig],
+    sqp_config: Optional[Any],
+    terminal_set_depth: int,
+    sqp_mod,
+) -> MpcController:
 
     sys_d = as_discrete(system, sample_time)
     is_neural = isinstance(sys_d, NeuralDiscreteSystem)

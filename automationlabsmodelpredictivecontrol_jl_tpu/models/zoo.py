@@ -90,7 +90,7 @@ def fnn_apply(params, x, u, activation="relu"):
 # the reference's JuMP encoding drops the skip connections, SURVEY §2.3).
 # ---------------------------------------------------------------------------
 def icnn_init(key, nx, nu, hidden=16, depth=2, activation="relu"):
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     n_in = nx + nu
     return {
         "W_in": _dense_init(k1, n_in, hidden),
@@ -103,6 +103,7 @@ def icnn_init(key, nx, nu, hidden=16, depth=2, activation="relu"):
         ),
         "b": jnp.zeros((depth, hidden), jnp.float32),
         "W_out": _dense_init(k4, hidden, nx),
+        "Wx_out": _dense_init(k5, n_in, nx),
     }
 
 
@@ -116,7 +117,9 @@ def icnn_apply(params, x, u, activation="relu"):
         return act(jax.nn.relu(Wz) @ h + Wx @ z_in + b), None
 
     h, _ = jax.lax.scan(layer, h, (params["Wz"], params["Wx"], params["b"]))
-    return params["W_out"] @ h
+    # output stays convex: nonneg weights on the convex hidden state plus an
+    # affine input skip (unconstrained-sign W_out would break convexity)
+    return jax.nn.relu(params["W_out"]) @ h + params["Wx_out"] @ z_in
 
 
 # ---------------------------------------------------------------------------

@@ -419,16 +419,21 @@ def solve(
             it, done = state[4], state[7]
             return (~done) & (it < config.max_iter)
 
+        # tie the scalar carries to a varying operand so the loop carry types
+        # match under shard_map manual axes (constants are otherwise
+        # "unvarying" while the diagnostics-derived outputs vary)
+        zero = jnp.sum(q_s) * 0.0
+        izero = zero.astype(jnp.int32)
         init = (
             x0_s,
             s0,
             y0_s,
             Ax0,
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(jnp.inf, dt),
-            jnp.asarray(jnp.inf, dt),
-            jnp.asarray(False),
-            jnp.asarray(STATUS_MAX_ITER, jnp.int32),
+            izero,
+            jnp.inf + zero,
+            jnp.inf + zero,
+            zero > 1.0,
+            STATUS_MAX_ITER + izero,
         )
         x_f, s_f, y_f, Ax_f, it_f, rp, rd, done, status = jax.lax.while_loop(
             cond, body, init

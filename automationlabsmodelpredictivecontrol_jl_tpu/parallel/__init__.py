@@ -1,1 +1,19 @@
-"""parallel subpackage."""
+from .scenarios import (
+    SCENARIO_AXIS,
+    BatchDiagnostics,
+    closed_loop_batch,
+    init_warm_batch,
+    make_mesh,
+    solve_batch,
+    solve_sharded,
+)
+
+__all__ = [
+    "SCENARIO_AXIS",
+    "BatchDiagnostics",
+    "closed_loop_batch",
+    "init_warm_batch",
+    "make_mesh",
+    "solve_batch",
+    "solve_sharded",
+]

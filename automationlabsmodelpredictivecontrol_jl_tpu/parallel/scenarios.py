@@ -1,0 +1,203 @@
+"""Batched + sharded scenario solves: the framework's parallelism layer.
+
+The reference has *no* parallelism of any kind (SURVEY.md §2.10 — zero hits
+for Threads/Distributed/CUDA/MPI; it solves one optimization at a time).
+This module is the new TPU-native surface defined by BASELINE.json:
+
+- **scenario batching** (the data-parallel axis): ``vmap`` over thousands of
+  initial conditions per chip — the ADMM iteration body becomes large
+  batched GEMMs that tile onto the MXU.
+- **multi-device sharding**: ``shard_map`` over a ``jax.sharding.Mesh``,
+  scenario axis sharded across chips; the controller (QP operators) is
+  replicated — it is the same controller solving many initial states.
+- **collective aggregation**: ``psum``/``pmax`` over ICI replace the NCCL/MPI
+  reductions a GPU framework would use — fleet-level convergence counts,
+  worst-case residuals and iteration histograms come back replicated so the
+  host reads one small struct regardless of pod size.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..design import MpcController
+from ..runtime import solve_once
+from ..types import STATUS_CONVERGED, MpcSolution
+from ..utils.pytrees import pytree_dataclass
+
+Array = Any
+
+SCENARIO_AXIS = "scenario"
+
+
+@pytree_dataclass
+class BatchDiagnostics:
+    """Fleet-level solve diagnostics (aggregated with psum/pmax over the
+    mesh): the observability surface the reference lacks (SURVEY §5)."""
+
+    n_total: Array  # ()
+    n_converged: Array  # ()
+    n_max_iter: Array  # ()
+    n_infeasible: Array  # ()
+    max_primal_residual: Array  # ()
+    max_dual_residual: Array  # ()
+    mean_iterations: Array  # ()
+    max_iterations: Array  # ()
+
+
+def _diagnostics(sol: MpcSolution) -> BatchDiagnostics:
+    status = sol.status
+    n = status.shape[0]
+    return BatchDiagnostics(
+        n_total=jnp.asarray(n, jnp.int32),
+        n_converged=jnp.sum(status == STATUS_CONVERGED).astype(jnp.int32),
+        n_max_iter=jnp.sum(status == 1).astype(jnp.int32),
+        n_infeasible=jnp.sum(status >= 2).astype(jnp.int32),
+        max_primal_residual=jnp.max(sol.primal_residual),
+        max_dual_residual=jnp.max(sol.dual_residual),
+        mean_iterations=jnp.mean(sol.iterations.astype(jnp.float32)),
+        max_iterations=jnp.max(sol.iterations).astype(jnp.int32),
+    )
+
+
+def _psum_diagnostics(d: BatchDiagnostics, axis: str) -> BatchDiagnostics:
+    total = jax.lax.psum(d.n_total, axis)
+    return BatchDiagnostics(
+        n_total=total,
+        n_converged=jax.lax.psum(d.n_converged, axis),
+        n_max_iter=jax.lax.psum(d.n_max_iter, axis),
+        n_infeasible=jax.lax.psum(d.n_infeasible, axis),
+        max_primal_residual=jax.lax.pmax(d.max_primal_residual, axis),
+        max_dual_residual=jax.lax.pmax(d.max_dual_residual, axis),
+        mean_iterations=jax.lax.psum(
+            d.mean_iterations * d.n_total.astype(jnp.float32), axis
+        )
+        / total.astype(jnp.float32),
+        max_iterations=jax.lax.pmax(d.max_iterations, axis),
+    )
+
+
+def init_warm_batch(controller: MpcController, batch: int) -> Tuple[Array, Array]:
+    """Broadcast the controller's warm state over a scenario batch."""
+    wz = jnp.broadcast_to(controller.warm_z, (batch,) + controller.warm_z.shape)
+    wy = jnp.broadcast_to(controller.warm_y, (batch,) + controller.warm_y.shape)
+    return wz, wy
+
+
+def solve_batch(
+    controller: MpcController,
+    x0s: Array,  # (B, nx)
+    warm_z: Optional[Array] = None,  # (B, n) or None
+    warm_y: Optional[Array] = None,  # (B, m) or None
+) -> Tuple[MpcSolution, Array, Array, BatchDiagnostics]:
+    """vmap-batched scenario solves on one device.
+
+    Returns (solutions with leading batch axis, next warm_z, next warm_y,
+    diagnostics). jit-compatible; this is BASELINE config 5's per-chip body.
+    """
+    B = x0s.shape[0]
+    if warm_z is None or warm_y is None:
+        warm_z, warm_y = init_warm_batch(controller, B)
+
+    sol, wz, wy = jax.vmap(
+        lambda x0, z, y: solve_once(controller, x0, z, y)
+    )(x0s, warm_z, warm_y)
+    return sol, wz, wy, _diagnostics(sol)
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = SCENARIO_AXIS) -> Mesh:
+    """1-D device mesh over the scenario axis (ICI within a slice).
+
+    Falls back to the CPU backend (virtual host devices under
+    ``--xla_force_host_platform_device_count``) when the default backend has
+    fewer devices than requested — never silently shrinks the mesh.
+    """
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if len(devs) < n:
+        try:
+            cpu = jax.devices("cpu")
+        except RuntimeError:
+            cpu = []
+        if len(cpu) >= n:
+            devs = cpu
+        else:
+            raise ValueError(
+                f"requested a {n}-device mesh but only {len(devs)} "
+                f"{devs[0].platform} and {len(cpu)} cpu devices are available"
+            )
+    return Mesh(np.asarray(devs[:n]), (axis,))
+
+
+def solve_sharded(
+    controller: MpcController,
+    x0s: Array,  # (B, nx), B divisible by mesh size
+    mesh: Optional[Mesh] = None,
+    warm_z: Optional[Array] = None,
+    warm_y: Optional[Array] = None,
+) -> Tuple[MpcSolution, Array, Array, BatchDiagnostics]:
+    """Scenario-sharded batch solve over a device mesh.
+
+    The controller is replicated; x0/warm/solution pytrees are sharded on
+    the leading scenario axis; diagnostics are psum-aggregated over ICI so
+    every shard (and the host) sees fleet-level numbers.
+    """
+    mesh = mesh or make_mesh()
+    axis = mesh.axis_names[0]
+    B = x0s.shape[0]
+    n_dev = mesh.devices.size
+    if B % n_dev:
+        raise ValueError(f"batch {B} not divisible by mesh size {n_dev}")
+    if warm_z is None or warm_y is None:
+        warm_z, warm_y = init_warm_batch(controller, B)
+
+    def shard_body(ctrl, x0_l, wz_l, wy_l):
+        sol, wz, wy = jax.vmap(
+            lambda x0, z, y: solve_once(ctrl, x0, z, y)
+        )(x0_l, wz_l, wy_l)
+        diag = _psum_diagnostics(_diagnostics(sol), axis)
+        return sol, wz, wy, diag
+
+    shard = P(axis)
+    rep = P()
+    f = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(rep, shard, shard, shard),
+        out_specs=(shard, shard, shard, rep),
+    )
+    return f(controller, x0s, warm_z, warm_y)
+
+
+def closed_loop_batch(
+    controller: MpcController,
+    plant_step,  # (x, u) -> x_next; the true plant
+    x0s: Array,  # (B, nx)
+    n_steps: int,
+) -> Tuple[Array, Array, Array]:
+    """Batched receding-horizon closed-loop simulation via lax.scan.
+
+    Returns (states (n_steps+1, B, nx), inputs (n_steps, B, nu),
+    statuses (n_steps, B)). The per-step warm-start carry is the designed
+    feature the reference only got implicitly from OSQP internals (SURVEY §5).
+    """
+    B = x0s.shape[0]
+    wz0, wy0 = init_warm_batch(controller, B)
+
+    def step_fn(carry, _):
+        x, wz, wy = carry
+        sol, wz_n, wy_n, _ = solve_batch(controller, x, wz, wy)
+        u0 = sol.u[:, :, 0]
+        x_next = jax.vmap(plant_step)(x, u0)
+        return (x_next, wz_n, wy_n), (x_next, u0, sol.status)
+
+    (_, _, _), (xs, us, statuses) = jax.lax.scan(
+        step_fn, (x0s, wz0, wy0), None, length=n_steps
+    )
+    xs = jnp.concatenate([x0s[None], xs], axis=0)
+    return xs, us, statuses

@@ -1,0 +1,78 @@
+"""Parallel layer: vmap batching + shard_map over the 8-device CPU mesh
+(SURVEY §2.10: all-new TPU-native surface; no reference counterpart)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import automationlabsmodelpredictivecontrol_jl_tpu as mpc
+from automationlabsmodelpredictivecontrol_jl_tpu import parallel
+from automationlabsmodelpredictivecontrol_jl_tpu.benchmarks import qtp
+
+
+@pytest.fixture(scope="module")
+def controller():
+    sys = qtp.linearized_discrete_system()
+    return mpc.proceed_controller(
+        sys, "model_predictive_control", 5, 5.0, np.full(4, 0.65), np.full(2, 1.2)
+    )
+
+
+def _x0_batch(B, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(0.6 + 0.05 * rng.standard_normal((B, 4)), jnp.float32)
+
+
+def test_solve_batch_matches_single(controller):
+    x0s = _x0_batch(4)
+    sol, wz, wy, diag = parallel.solve_batch(controller, x0s)
+    assert sol.u.shape == (4, 2, 5)
+    assert int(diag.n_total) == 4
+    assert int(diag.n_converged) == 4
+    # lane 2 equals a single solve at the same x0
+    single, _, _ = mpc.solve_once(
+        controller, x0s[2], controller.warm_z, controller.warm_y
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol.u[2]), np.asarray(single.u), atol=2e-4
+    )
+
+
+def test_solve_sharded_matches_batch(controller):
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    mesh = parallel.make_mesh(8)
+    x0s = _x0_batch(16)
+    sol_s, _, _, diag_s = parallel.solve_sharded(controller, x0s, mesh)
+    sol_b, _, _, diag_b = parallel.solve_batch(controller, x0s)
+    np.testing.assert_allclose(
+        np.asarray(sol_s.u), np.asarray(sol_b.u), atol=2e-4
+    )
+    assert int(diag_s.n_total) == 16
+    assert int(diag_s.n_converged) == int(diag_b.n_converged)
+
+
+def test_sharded_batch_size_check(controller):
+    mesh = parallel.make_mesh(8)
+    with pytest.raises(ValueError, match="divisible"):
+        parallel.solve_sharded(controller, _x0_batch(10), mesh)
+
+
+def test_closed_loop_batch_tracks(controller):
+    x0s = _x0_batch(3, seed=1)
+    xs, us, statuses = parallel.closed_loop_batch(
+        controller, lambda x, u: qtp.qtp_discrete_step(x, u), x0s, n_steps=8
+    )
+    assert xs.shape == (9, 3, 4)
+    assert us.shape == (8, 3, 2)
+    # every lane moves toward the setpoint (reference tolerance atol=0.5)
+    err0 = np.abs(np.asarray(xs[0]) - 0.65).max()
+    errN = np.abs(np.asarray(xs[-1]) - 0.65).max()
+    assert errN < max(0.5, err0)
+
+
+def test_warm_start_carry_improves(controller):
+    x0s = _x0_batch(4, seed=2)
+    sol1, wz, wy, d1 = parallel.solve_batch(controller, x0s)
+    sol2, _, _, d2 = parallel.solve_batch(controller, x0s, wz, wy)
+    assert float(d2.mean_iterations) <= float(d1.mean_iterations)
