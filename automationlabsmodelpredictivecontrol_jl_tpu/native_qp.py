@@ -1,0 +1,136 @@
+"""ctypes bindings for the native C++ QP reference solver (native/qpref).
+
+The in-house f64 oracle / host fallback mirroring the reference's native
+OSQP surface (solver_selection.jl:92-98). Builds the shared library on
+first use (g++ is part of the baked toolchain); no pybind11 needed.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native", "qpref")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libqpref.so")
+
+_lib = None
+
+
+def _build() -> None:
+    subprocess.run(
+        ["make", "-C", _NATIVE_DIR], check=True, capture_output=True, text=True
+    )
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    src = os.path.join(_NATIVE_DIR, "qpref.cpp")
+    if not os.path.exists(_LIB_PATH) or (
+        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    ):
+        _build()
+    lib = ctypes.CDLL(_LIB_PATH)
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.qpref_solve.restype = ctypes.c_int
+    lib.qpref_solve.argtypes = [
+        ctypes.c_int, ctypes.c_int, dp, dp, dp, dp, dp,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, dp, dp, ip, dp, dp,
+    ]
+    lib.qpref_solve_batch.restype = ctypes.c_int
+    lib.qpref_solve_batch.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, dp, dp, dp, dp, dp,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, dp, dp, ip, ip, dp, dp,
+    ]
+    _lib = lib
+    return lib
+
+
+def _dp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def solve_qp(
+    P: np.ndarray,
+    q: np.ndarray,
+    A: np.ndarray,
+    l: np.ndarray,
+    u: np.ndarray,
+    max_iter: int = 20000,
+    eps_abs: float = 1e-9,
+    eps_rel: float = 1e-9,
+    rho: float = 0.1,
+    sigma: float = 1e-6,
+    alpha: float = 1.6,
+    z0: Optional[np.ndarray] = None,
+    y0: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, int, int, float, float]:
+    """Solve min 0.5 z'Pz + q'z s.t. l <= Az <= u in f64 via the native lib.
+
+    Returns (z, y, status, iterations, primal_residual, dual_residual);
+    status codes match types.STATUS_*.
+    """
+    lib = _load()
+    P = np.ascontiguousarray(P, np.float64)
+    q = np.ascontiguousarray(q, np.float64)
+    A = np.ascontiguousarray(A, np.float64)
+    l = np.ascontiguousarray(l, np.float64)
+    u = np.ascontiguousarray(u, np.float64)
+    n = P.shape[0]
+    m = A.shape[0]
+    z = np.zeros(n) if z0 is None else np.ascontiguousarray(z0, np.float64).copy()
+    y = np.zeros(m) if y0 is None else np.ascontiguousarray(y0, np.float64).copy()
+    iters = ctypes.c_int(0)
+    rp = ctypes.c_double(0.0)
+    rd = ctypes.c_double(0.0)
+    status = lib.qpref_solve(
+        n, m, _dp(P), _dp(q), _dp(A), _dp(l), _dp(u),
+        max_iter, eps_abs, eps_rel, rho, sigma, alpha,
+        _dp(z), _dp(y), ctypes.byref(iters), ctypes.byref(rp), ctypes.byref(rd),
+    )
+    return z, y, int(status), int(iters.value), float(rp.value), float(rd.value)
+
+
+def solve_qp_batch(
+    P: np.ndarray,
+    qs: np.ndarray,  # (B, n)
+    A: np.ndarray,
+    ls: np.ndarray,  # (B, m)
+    us: np.ndarray,  # (B, m)
+    **kw,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batched solve sharing (P, A): the condensed-MPC runtime pattern.
+
+    Returns (z (B,n), y (B,m), status (B,), iterations (B,))."""
+    lib = _load()
+    P = np.ascontiguousarray(P, np.float64)
+    A = np.ascontiguousarray(A, np.float64)
+    qs = np.ascontiguousarray(qs, np.float64)
+    ls = np.ascontiguousarray(ls, np.float64)
+    us = np.ascontiguousarray(us, np.float64)
+    B, n = qs.shape
+    m = A.shape[0]
+    z = np.zeros((B, n))
+    y = np.zeros((B, m))
+    status = np.zeros(B, np.int32)
+    iters = np.zeros(B, np.int32)
+    rp = np.zeros(B)
+    rd = np.zeros(B)
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.qpref_solve_batch(
+        B, n, m, _dp(P), _dp(qs), _dp(A), _dp(ls), _dp(us),
+        int(kw.get("max_iter", 20000)), float(kw.get("eps_abs", 1e-9)),
+        float(kw.get("eps_rel", 1e-9)), float(kw.get("rho", 0.1)),
+        float(kw.get("sigma", 1e-6)), float(kw.get("alpha", 1.6)),
+        _dp(z), _dp(y), status.ctypes.data_as(ip), iters.ctypes.data_as(ip),
+        _dp(rp), _dp(rd),
+    )
+    return z, y, status, iters

@@ -58,13 +58,19 @@ def _mv(M, v):
 class AdmmConfig:
     """Solver knobs (static: part of the jit cache key)."""
 
-    max_iter: int = 250
+    max_iter: int = 500
     sigma: float = 1e-6
     alpha: float = 1.6
     rho: float = 0.1
     # OSQP uses 1e3 (in f64); in the f32 hot loop a 1e3 equality-row rho
     # amplifies roundoff past the residual tolerance — 1e2 converges.
     rho_eq_scale: float = 1e2
+    # adaptive-rho grid: OSQP refactorizes its KKT on every rho update; the
+    # TPU design prefactorizes K^{-1} for a log-spaced grid once at design
+    # time and the iteration *selects* (per vmap lane) the best operator
+    # from the residual ratio — no factorization in the hot loop.
+    rho_grid: tuple = (0.01, 0.1, 1.0, 10.0, 100.0)
+    adapt_interval: int = 25  # 0 disables rho adaptation
     eps_abs: float = 1e-6
     eps_rel: float = 1e-6
     eps_infeas: float = 1e-5
@@ -75,14 +81,18 @@ class AdmmConfig:
 
 @pytree_dataclass
 class AdmmOperator:
-    """Design-time-precomputed solver operator for one QP structure."""
+    """Design-time-precomputed solver operator for one QP structure.
+
+    All rho-dependent pieces are stacked over the rho grid (leading axis R);
+    the iteration selects a grid entry per solve / per vmap lane."""
 
     P_s: Array  # (n, n) scaled
     A_s: Array  # (m, n) scaled
-    K: Array  # (n, n) = P_s + sigma I + A_s' diag(rho) A_s
-    K_inv: Array  # (n, n)
-    rho_vec: Array  # (m,)
-    rho_inv: Array  # (m,)
+    Ks: Array  # (R, n, n) = P_s + sigma I + A_s' diag(rho_r) A_s
+    K_invs: Array  # (R, n, n)
+    rho_vecs: Array  # (R, m)
+    rho_invs: Array  # (R, m)
+    rho_grid: Array  # (R,) base rho values
     D: Array  # (n,)
     E: Array  # (m,)
     c: Array  # ()
@@ -132,6 +142,20 @@ def _ruiz_equilibrate(P: np.ndarray, A: np.ndarray, n_ball: int, iters: int):
     return Pc, Ac, D, E, c
 
 
+def _rho_grid(config: AdmmConfig):
+    """The rho grid for prefactorized adaptation; always contains config.rho
+    (first entry = the starting rho's index is found by value)."""
+    if not config.adapt_interval:
+        return [float(config.rho)]
+    vals = sorted(set(float(r) for r in config.rho_grid) | {float(config.rho)})
+    return vals
+
+
+def start_rho_index(config: AdmmConfig) -> int:
+    """Grid index of the configured starting rho."""
+    return _rho_grid(config).index(float(config.rho))
+
+
 def build_operator(
     P: Array,
     A: Array,
@@ -151,18 +175,27 @@ def build_operator(
     P_s, A_s, D, E, c = _ruiz_equilibrate(P64, A64, n_ball, config.scaling_iters)
 
     eq = np.asarray(eq_row_mask, bool)
-    rho_vec = np.where(eq, config.rho * config.rho_eq_scale, config.rho)
-    K = P_s + config.sigma * np.eye(n) + (A_s.T * rho_vec) @ A_s
-    K_inv = np.linalg.inv(K)
+    grid = _rho_grid(config)
+    Ks, K_invs, rho_vecs = [], [], []
+    for rho in grid:
+        # cap per-row rho: beyond ~1e3 the f32 iteration's roundoff exceeds
+        # the residual tolerance (equality rows get rho_eq_scale * rho)
+        rho_vec = np.minimum(np.where(eq, rho * config.rho_eq_scale, rho), 1e3)
+        K = P_s + config.sigma * np.eye(n) + (A_s.T * rho_vec) @ A_s
+        Ks.append(K)
+        K_invs.append(np.linalg.inv(K))
+        rho_vecs.append(rho_vec)
+    rho_vecs = np.stack(rho_vecs)
 
     f32 = lambda x: jnp.asarray(x, jnp.float32)
     return AdmmOperator(
         P_s=f32(P_s),
         A_s=f32(A_s),
-        K=f32(K),
-        K_inv=f32(K_inv),
-        rho_vec=f32(rho_vec),
-        rho_inv=f32(1.0 / rho_vec),
+        Ks=f32(np.stack(Ks)),
+        K_invs=f32(np.stack(K_invs)),
+        rho_vecs=f32(rho_vecs),
+        rho_invs=f32(1.0 / rho_vecs),
+        rho_grid=f32(np.asarray(grid)),
         D=f32(D),
         E=f32(E),
         c=jnp.asarray(c, jnp.float32),
@@ -224,18 +257,22 @@ def build_operator_traced(
         c = c * gamma
 
     eq = np.asarray(eq_row_mask, bool)
+    # traced operators keep a single-rho grid (R=1): SQP rebuilds the
+    # subproblem every outer iteration, so rho adaptation buys little there
     rho_vec = jnp.asarray(
-        np.where(eq, config.rho * config.rho_eq_scale, config.rho), dt
+        np.minimum(np.where(eq, config.rho * config.rho_eq_scale, config.rho), 1e3),
+        dt,
     )
     K = P_s + config.sigma * jnp.eye(n, dtype=dt) + (A_s.T * rho_vec) @ A_s
     K_inv = jnp.linalg.inv(K)
     return AdmmOperator(
         P_s=P_s,
         A_s=A_s,
-        K=K,
-        K_inv=K_inv,
-        rho_vec=rho_vec,
-        rho_inv=1.0 / rho_vec,
+        Ks=K[None],
+        K_invs=K_inv[None],
+        rho_vecs=rho_vec[None],
+        rho_invs=(1.0 / rho_vec)[None],
+        rho_grid=jnp.asarray([config.rho], dt),
         D=D,
         E=E,
         c=c,
@@ -311,52 +348,74 @@ def solve(
         ball_r_s = jnp.asarray(0.0, dt)
 
     # soft rows: shrink amount in scaled space (inf -> hard projection)
-    shrink_s = None if soft_mu is None else soft_mu / (op.E * op.rho_vec)
+    def shrink_for(rho_vec):
+        return None if soft_mu is None else soft_mu / (op.E * rho_vec)
+
+    R = op.rho_grid.shape[0]
+    idx0 = jnp.asarray(start_rho_index(config) if R > 1 else 0, jnp.int32)
+    log_grid = jnp.log(op.rho_grid)
+
+    def rho_parts(idx):
+        if R == 1:
+            return op.K_invs[0], op.Ks[0], op.rho_vecs[0], op.rho_invs[0]
+        return (
+            jnp.take(op.K_invs, idx, axis=0),
+            jnp.take(op.Ks, idx, axis=0),
+            jnp.take(op.rho_vecs, idx, axis=0),
+            jnp.take(op.rho_invs, idx, axis=0),
+        )
 
     x0_s = jnp.zeros((n,), dt) if z0 is None else z0 / op.D
     y0_s = jnp.zeros((m,), dt) if y0 is None else op.c * y0 / op.E
     Ax0 = _mv(op.A_s, x0_s)
-    s0 = _project(op, Ax0 + op.rho_inv * y0_s, l_s, u_s, ball_c_s, ball_r_s, shrink_s)
+    _, _, rho_vec0, rho_inv0 = rho_parts(idx0)
+    s0 = _project(op, Ax0 + rho_inv0 * y0_s, l_s, u_s, ball_c_s, ball_r_s,
+                  shrink_for(rho_vec0))
 
     D_inv = 1.0 / op.D
     E_inv = 1.0 / op.E
     c_inv = 1.0 / op.c
 
-    def refine(xt, rhs):
+    def step(x, s, y, Ax, idx):
+        """One ADMM iteration (scaled space) with the grid-selected rho."""
+        K_inv, K, rho_vec, rho_inv = rho_parts(idx)
+        rhs = sigma * x - q_s + _mv(op.A_s.T, rho_vec * s - y)
+        xt = _mv(K_inv, rhs)
         for _ in range(config.refine_steps):
-            xt = xt + _mv(op.K_inv, rhs - _mv(op.K, xt))
-        return xt
-
-    def step(x, s, y, Ax):
-        """One ADMM iteration (scaled space). Returns new (x, s, y, Ax) and
-        the previous duals/primal for certificate deltas."""
-        rhs = sigma * x - q_s + _mv(op.A_s.T, op.rho_vec * s - y)
-        xt = refine(_mv(op.K_inv, rhs), rhs)
+            xt = xt + _mv(K_inv, rhs - _mv(K, xt))
         st = _mv(op.A_s, xt)
         x_new = alpha * xt + (1.0 - alpha) * x
         v = alpha * st + (1.0 - alpha) * s  # relax with the projected var (OSQP alg. 1)
-        s_new = _project(op, v + op.rho_inv * y, l_s, u_s, ball_c_s, ball_r_s, shrink_s)
-        y_new = y + op.rho_vec * (v - s_new)
+        s_new = _project(op, v + rho_inv * y, l_s, u_s, ball_c_s, ball_r_s,
+                         shrink_for(rho_vec))
+        y_new = y + rho_vec * (v - s_new)
         Ax_new = alpha * st + (1.0 - alpha) * Ax  # true A @ x_new, residuals only
         return x_new, s_new, y_new, Ax_new
 
     def diagnostics(x, s, y, Ax, x_prev, y_prev):
-        """Unscaled residuals, convergence + infeasibility certificates."""
+        """Unscaled residuals, convergence + infeasibility certificates.
+        Also returns the normalized residual ratio for rho adaptation."""
         r_prim = jnp.max(jnp.abs(E_inv * (Ax - s)))
         Px = _mv(op.P_s, x)
         Aty = _mv(op.A_s.T, y)
         r_dual = c_inv * jnp.max(jnp.abs(D_inv * (Px + q_s + Aty)))
 
-        eps_prim = config.eps_abs + config.eps_rel * jnp.maximum(
+        prim_norm = jnp.maximum(
             jnp.max(jnp.abs(E_inv * Ax)), jnp.max(jnp.abs(E_inv * s))
         )
-        eps_dual = config.eps_abs + config.eps_rel * c_inv * jnp.maximum(
+        dual_norm = c_inv * jnp.maximum(
             jnp.maximum(
                 jnp.max(jnp.abs(D_inv * Px)), jnp.max(jnp.abs(D_inv * Aty))
             ),
             jnp.max(jnp.abs(D_inv * q_s)),
         )
+        eps_prim = config.eps_abs + config.eps_rel * prim_norm
+        eps_dual = config.eps_abs + config.eps_rel * dual_norm
         converged = (r_prim <= eps_prim) & (r_dual <= eps_dual)
+        # OSQP §5.2 rho rule: rho <- rho * sqrt(normalized rp / normalized rd)
+        ratio = (r_prim / jnp.maximum(prim_norm, 1e-12)) / jnp.maximum(
+            r_dual / jnp.maximum(dual_norm, 1e-12), 1e-12
+        )
 
         # primal infeasibility certificate from the dual delta (OSQP §3.4)
         dys = y - y_prev  # scaled
@@ -403,20 +462,36 @@ def solve(
             ),
         ).astype(jnp.int32)
         done = converged | prim_infeas | dual_infeas
-        return r_prim, r_dual, done, status
+        return r_prim, r_dual, done, status, ratio
+
+    def adapt_rho(idx, ratio, it, done):
+        """Select the grid rho nearest rho_cur * sqrt(ratio) (OSQP rule),
+        every adapt_interval iterations."""
+        if R == 1 or not config.adapt_interval:
+            return idx
+        log_target = jnp.take(log_grid, idx) + 0.5 * jnp.log(
+            jnp.clip(ratio, 1e-8, 1e8)
+        )
+        idx_new = jnp.argmin(jnp.abs(log_grid - log_target)).astype(jnp.int32)
+        do = (jnp.mod(it, config.adapt_interval) == 0) & (~done)
+        return jnp.where(do, idx_new, idx)
 
     if config.adaptive:
 
         def body(state):
-            x, s, y, Ax, it, _, _, _, _ = state
-            x_new, s_new, y_new, Ax_new = step(x, s, y, Ax)
-            r_prim, r_dual, done, status = diagnostics(
+            x, s, y, Ax, idx, it, _, _, _, _ = state
+            x_new, s_new, y_new, Ax_new = step(x, s, y, Ax, idx)
+            r_prim, r_dual, done, status, ratio = diagnostics(
                 x_new, s_new, y_new, Ax_new, x, y
             )
-            return (x_new, s_new, y_new, Ax_new, it + 1, r_prim, r_dual, done, status)
+            idx_new = adapt_rho(idx, ratio, it + 1, done)
+            return (
+                x_new, s_new, y_new, Ax_new, idx_new, it + 1,
+                r_prim, r_dual, done, status,
+            )
 
         def cond(state):
-            it, done = state[4], state[7]
+            it, done = state[5], state[8]
             return (~done) & (it < config.max_iter)
 
         # tie the scalar carries to a varying operand so the loop carry types
@@ -429,26 +504,28 @@ def solve(
             s0,
             y0_s,
             Ax0,
+            idx0 + izero,
             izero,
             jnp.inf + zero,
             jnp.inf + zero,
             zero > 1.0,
             STATUS_MAX_ITER + izero,
         )
-        x_f, s_f, y_f, Ax_f, it_f, rp, rd, done, status = jax.lax.while_loop(
+        x_f, s_f, y_f, Ax_f, _, it_f, rp, rd, done, status = jax.lax.while_loop(
             cond, body, init
         )
     else:
-        # lean fixed-cost loop: no diagnostics inside, one check at the end
+        # lean fixed-cost loop: no diagnostics inside, fixed starting rho,
+        # one check at the end
         def body(i, state):
             x, s, y, Ax = state
-            return step(x, s, y, Ax)
+            return step(x, s, y, Ax, idx0)
 
         x_p, s_p, y_p, Ax_p = jax.lax.fori_loop(
             0, config.max_iter - 1, body, (x0_s, s0, y0_s, Ax0)
         )
-        x_f, s_f, y_f, Ax_f = step(x_p, s_p, y_p, Ax_p)
-        rp, rd, done, status = diagnostics(x_f, s_f, y_f, Ax_f, x_p, y_p)
+        x_f, s_f, y_f, Ax_f = step(x_p, s_p, y_p, Ax_p, idx0)
+        rp, rd, done, status, _ = diagnostics(x_f, s_f, y_f, Ax_f, x_p, y_p)
         it_f = jnp.asarray(config.max_iter, jnp.int32)
 
     return AdmmResult(

@@ -23,9 +23,11 @@ def main():
 
     HORIZON = 20
     BATCH = 4096
-    # fixed-cost iteration budget (lean mode): enough for convergence on the
-    # QTP scenario distribution (validated below via status codes)
-    cfg = AdmmConfig(max_iter=60, adaptive=False)
+    # adaptive engine with grid-rho selection: 100% convergence at 1e-6 on
+    # this scenario distribution in <=~130 iterations (p50 ~36); the vmapped
+    # while_loop runs the batch until every lane is done, so the statuses
+    # reported below are exact.
+    cfg = AdmmConfig(max_iter=250, adaptive=True)
 
     sys = qtp.linearized_discrete_system()
     controller = mpc.proceed_controller(

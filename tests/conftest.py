@@ -19,7 +19,6 @@ import jax  # noqa: E402  (import after env setup)
 # late) — override post-import so tests always run on the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
-# persistent compilation cache: compile-once across test runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mpc")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# NOTE: no persistent compilation cache here — the environment routes
+# compiles through a remote service whose AOT output targets different CPU
+# features than this host (cpu_aot_loader warns about possible SIGILL).
