@@ -47,10 +47,12 @@ from .runtime import (
     calculate,
     solve_once,
     step,
+    update_and_compute,
     update_initialization,
     update_references,
 )
 from .main import proceed_controller, DEFAULT_PARAMETERS
+from .io import load_controller, save_controller
 from .ops.admm import AdmmConfig
 from .solvers.sqp import SqpConfig, SqpEngine
 from .terminal import create_terminal_ingredient, invariant_terminal_set
@@ -92,10 +94,13 @@ __all__ = [
     "invariant_terminal_set",
     "linearize",
     "linearize_to_system",
+    "load_controller",
     "proceed_controller",
+    "save_controller",
     "rollout",
     "solve_once",
     "step",
+    "update_and_compute",
     "update_initialization",
     "update_references",
 ]

@@ -54,10 +54,16 @@ class MpcTuning:
 
 @pytree_dataclass
 class LinearEngine:
-    """Condensed-QP + factorized-ADMM engine (the OSQP-equivalent path)."""
+    """Condensed-QP + factorized-ADMM engine (the OSQP-equivalent path).
+
+    soft_mu: per-row L1 penalty for soft rows (inf = hard); None when all
+    rows are hard. Covers BASELINE config 4's slack-penalized soft state
+    constraints without adding slack variables — the ADMM projection step
+    becomes a shrinkage toward the interval."""
 
     qp: CondensedQpData
     op: admm_ops.AdmmOperator
+    soft_mu: Optional[Array]
     config: admm_ops.AdmmConfig = static_field()
 
 
@@ -100,6 +106,7 @@ def _linear_engine(
     lin_system: LinearDiscreteSystem,
     tuning: MpcTuning,
     admm_config: admm_ops.AdmmConfig,
+    soft_state_penalty: Optional[float] = None,
 ) -> LinearEngine:
     qp = condense(
         lin_system.A,
@@ -116,7 +123,13 @@ def _linear_engine(
     u_np = np.asarray(qp.u_const)
     eq_mask = np.isfinite(l_np) & np.isfinite(u_np) & (l_np == u_np)
     op = admm_ops.build_operator(qp.P, qp.A, eq_mask, qp.n_ball, admm_config)
-    return LinearEngine(qp=qp, op=op, config=admm_config)
+    soft_mu = None
+    if soft_state_penalty is not None and tuning.state_constraint:
+        N, nx, nu = qp.N, qp.nx, qp.nu
+        mu = np.full(qp.A.shape[0], np.inf, np.float32)
+        mu[N * nu : N * nu + N * nx] = float(soft_state_penalty)
+        soft_mu = jnp.asarray(mu)
+    return LinearEngine(qp=qp, op=op, soft_mu=soft_mu, config=admm_config)
 
 
 def design_controller(
@@ -134,6 +147,7 @@ def design_controller(
     S: float = 0.0,
     max_time: float = 30.0,
     state_constraint: bool = False,
+    soft_state_penalty: Optional[float] = None,
     admm_config: Optional[admm_ops.AdmmConfig] = None,
     sqp_config: Optional[Any] = None,
     terminal_set_depth: int = 30,
@@ -156,6 +170,7 @@ def design_controller(
             programming_type=programming_type, solver=solver,
             terminal_ingredient=terminal_ingredient, Q=Q, R=R, S=S,
             max_time=max_time, state_constraint=state_constraint,
+            soft_state_penalty=soft_state_penalty,
             admm_config=admm_config, sqp_config=sqp_config,
             terminal_set_depth=terminal_set_depth, sqp_mod=sqp_mod,
         )
@@ -176,6 +191,7 @@ def _design_controller_impl(
     S: float,
     max_time: float,
     state_constraint: bool,
+    soft_state_penalty: Optional[float],
     admm_config: Optional[admm_ops.AdmmConfig],
     sqp_config: Optional[Any],
     terminal_set_depth: int,
@@ -222,7 +238,7 @@ def _design_controller_impl(
             if is_neural
             else sys_d
         )
-        engine = _linear_engine(lin_sys, tuning, admm_config)
+        engine = _linear_engine(lin_sys, tuning, admm_config, soft_state_penalty)
         m = engine.op.A_s.shape[0]
         n = engine.op.A_s.shape[1]
         warm_z = jnp.zeros((n,), jnp.float32)

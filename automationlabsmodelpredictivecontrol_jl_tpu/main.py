@@ -65,9 +65,18 @@ def proceed_controller(
         R=float(kws.get("mpc_R", p["mpc_R"])),
         S=float(kws.get("mpc_S", p["mpc_S"])),
         max_time=float(kws.get("mpc_max_time", p["mpc_max_time"])),
-        # presence-flag semantics, like the reference (linear/...:62)
-        state_constraint="mpc_state_constraint" in kws
-        and kws["mpc_state_constraint"] is not False,
+        # presence-flag semantics, like the reference (linear/...:62);
+        # mpc_soft_state_constraint=<penalty> turns the state boxes into
+        # L1-penalized soft constraints (implies state_constraint)
+        state_constraint=(
+            ("mpc_state_constraint" in kws and kws["mpc_state_constraint"] is not False)
+            or "mpc_soft_state_constraint" in kws
+        ),
+        soft_state_penalty=(
+            float(kws["mpc_soft_state_constraint"])
+            if "mpc_soft_state_constraint" in kws
+            else None
+        ),
         admm_config=kws.get("admm_config"),
         sqp_config=kws.get("sqp_config"),
     )

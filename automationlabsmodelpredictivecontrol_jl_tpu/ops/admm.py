@@ -71,6 +71,7 @@ class AdmmConfig:
     # from the residual ratio — no factorization in the hot loop.
     rho_grid: tuple = (0.01, 0.1, 1.0, 10.0, 100.0)
     adapt_interval: int = 25  # 0 disables rho adaptation
+    check_interval: int = 25  # iterations between convergence checks
     eps_abs: float = 1e-6
     eps_rel: float = 1e-6
     eps_infeas: float = 1e-5
@@ -376,13 +377,41 @@ def solve(
     E_inv = 1.0 / op.E
     c_inv = 1.0 / op.c
 
+    # A_s' diag(rho_r): (R, n, m), tiny — lets the all-rho x-update run as
+    # shared-matrix GEMMs instead of per-lane K_inv gathers (a (B,n,n)
+    # gather per iteration is pure HBM traffic and dominates on TPU).
+    AtRho = op.A_s.T[None] * op.rho_vecs[:, None, :]
+
     def step(x, s, y, Ax, idx):
-        """One ADMM iteration (scaled space) with the grid-selected rho."""
-        K_inv, K, rho_vec, rho_inv = rho_parts(idx)
-        rhs = sigma * x - q_s + _mv(op.A_s.T, rho_vec * s - y)
-        xt = _mv(K_inv, rhs)
-        for _ in range(config.refine_steps):
-            xt = xt + _mv(K_inv, rhs - _mv(K, xt))
+        """One ADMM iteration (scaled space) with the grid-selected rho.
+
+        For R > 1 the candidate x-update is computed for EVERY grid rho with
+        shared-weight GEMMs (R x (B,n)@(n,n) under vmap — MXU-tiled), and
+        the lane's rho just *selects* a candidate. R times the FLOPs of one
+        update, but no gathered per-lane matrices — far cheaper on TPU."""
+        if R == 1:
+            rho_vec, rho_inv = op.rho_vecs[0], op.rho_invs[0]
+            rhs = sigma * x - q_s + _mv(op.A_s.T, rho_vec * s - y)
+            xt = _mv(op.K_invs[0], rhs)
+            for _ in range(config.refine_steps):
+                xt = xt + _mv(op.K_invs[0], rhs - _mv(op.Ks[0], xt))
+        else:
+            Aty = _mv(op.A_s.T, y)
+            base = sigma * x - q_s - Aty  # (n,)
+            rhs_r = base[None] + jnp.einsum(
+                "rnm,m->rn", AtRho, s, precision=HIGHEST
+            )  # (R, n)
+            xt_r = jnp.einsum(
+                "rnk,rk->rn", op.K_invs, rhs_r, precision=HIGHEST
+            )
+            for _ in range(config.refine_steps):
+                Kxt = jnp.einsum("rnk,rk->rn", op.Ks, xt_r, precision=HIGHEST)
+                xt_r = xt_r + jnp.einsum(
+                    "rnk,rk->rn", op.K_invs, rhs_r - Kxt, precision=HIGHEST
+                )
+            xt = jnp.take(xt_r, idx, axis=0)
+            rho_vec = jnp.take(op.rho_vecs, idx, axis=0)
+            rho_inv = jnp.take(op.rho_invs, idx, axis=0)
         st = _mv(op.A_s, xt)
         x_new = alpha * xt + (1.0 - alpha) * x
         v = alpha * st + (1.0 - alpha) * s  # relax with the projected var (OSQP alg. 1)
@@ -473,20 +502,32 @@ def solve(
             jnp.clip(ratio, 1e-8, 1e8)
         )
         idx_new = jnp.argmin(jnp.abs(log_grid - log_target)).astype(jnp.int32)
-        do = (jnp.mod(it, config.adapt_interval) == 0) & (~done)
+        # fires on the first check at/after each adapt_interval boundary
+        do = (jnp.mod(it, config.adapt_interval) < config.check_interval) & (~done)
         return jnp.where(do, idx_new, idx)
 
     if config.adaptive:
+        # diagnostics (3 extra matvecs + reductions) run every check_interval
+        # iterations, not every iteration — the same economy OSQP applies
+        ck = max(1, int(config.check_interval))
 
         def body(state):
             x, s, y, Ax, idx, it, _, _, _, _ = state
-            x_new, s_new, y_new, Ax_new = step(x, s, y, Ax, idx)
-            r_prim, r_dual, done, status, ratio = diagnostics(
-                x_new, s_new, y_new, Ax_new, x, y
+            x_prev, y_prev = x, y
+
+            def inner(i, st):
+                xi, si, yi, Axi = st
+                return step(xi, si, yi, Axi, idx)
+
+            x_new, s_new, y_new, Ax_new = jax.lax.fori_loop(
+                0, ck, inner, (x, s, y, Ax)
             )
-            idx_new = adapt_rho(idx, ratio, it + 1, done)
+            r_prim, r_dual, done, status, ratio = diagnostics(
+                x_new, s_new, y_new, Ax_new, x_prev, y_prev
+            )
+            idx_new = adapt_rho(idx, ratio, it + ck, done)
             return (
-                x_new, s_new, y_new, Ax_new, idx_new, it + 1,
+                x_new, s_new, y_new, Ax_new, idx_new, it + ck,
                 r_prim, r_dual, done, status,
             )
 

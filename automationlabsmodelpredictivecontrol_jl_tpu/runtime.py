@@ -51,7 +51,8 @@ def _solve_linear(
     e0 = x0 - refs.x[:, 0]
     q, l, u, ball_c, ball_r = runtime_qp_vectors(qp, e0)
     res = admm_ops.solve(
-        engine.op, q, l, u, ball_c, ball_r, warm_z, warm_y, config=engine.config
+        engine.op, q, l, u, ball_c, ball_r, warm_z, warm_y,
+        config=engine.config, soft_mu=engine.soft_mu,
     )
 
     N, nx, nu = qp.N, qp.nx, qp.nu
@@ -63,9 +64,10 @@ def _solve_linear(
     us = eu + refs.u.T
 
     status = res.status
-    if tuning.state_constraint:
+    if tuning.state_constraint and engine.soft_mu is None:
         # the reference also poses a box row on the (fixed) first state
         # (linear/...:64-69); with x0 pinned it is a pure feasibility check.
+        # (soft-constrained controllers never declare infeasibility on it)
         x0_ok = jnp.all((x0 >= system.X.lo) & (x0 <= system.X.hi))
         status = jnp.where(x0_ok, status, STATUS_PRIMAL_INFEASIBLE).astype(jnp.int32)
 
@@ -166,3 +168,18 @@ def update_references(
         warm_z=controller.warm_z,
         warm_y=controller.warm_y,
     )
+
+
+def update_and_compute(
+    controller: MpcController, x0: Array, x_ref=None, u_ref=None
+) -> Tuple[MpcController, MpcSolution]:
+    """Refresh references (optional), pin x0 and solve — working semantics
+    for the reference's exported-but-undefined update_and_compute!
+    (AutomationLabsModelPredictiveControl.jl:28-30, computation_mpc.jl:58-157,
+    Chen & Allgöwer quasi-infinite-horizon refresh)."""
+    if x_ref is not None or u_ref is not None:
+        t = controller.tuning
+        xr = t.references.x[:, 0] if x_ref is None else x_ref
+        ur = t.references.u[:, 0] if u_ref is None else u_ref
+        controller = update_references(controller, xr, ur)
+    return step(controller, x0)

@@ -27,7 +27,7 @@ def main():
     # this scenario distribution in <=~130 iterations (p50 ~36); the vmapped
     # while_loop runs the batch until every lane is done, so the statuses
     # reported below are exact.
-    cfg = AdmmConfig(max_iter=250, adaptive=True)
+    cfg = AdmmConfig(max_iter=400, adaptive=True)
 
     sys = qtp.linearized_discrete_system()
     controller = mpc.proceed_controller(
