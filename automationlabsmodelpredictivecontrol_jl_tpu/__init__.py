@@ -35,6 +35,7 @@ from .systems import (
     discretize,
     linearize,
     linearize_to_system,
+    user_function_system,
 )
 from .design import (
     MpcController,
@@ -103,4 +104,5 @@ __all__ = [
     "update_and_compute",
     "update_initialization",
     "update_references",
+    "user_function_system",
 ]

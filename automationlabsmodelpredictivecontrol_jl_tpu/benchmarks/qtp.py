@@ -62,23 +62,37 @@ def linearized_discrete_system(
 ) -> LinearDiscreteSystem:
     """Discrete linearization of the QTP around an operating point — the
     stand-in for the reference's learned `linear_regressor` fixture.
-    Host-side (CPU-pinned) design-time computation."""
-    from ..utils.devices import design_scope
 
-    with design_scope():
-        x_op = (
-            jnp.asarray([0.65, 0.65, 0.65, 0.65], jnp.float32)
-            if x_op is None else x_op
-        )
-        u_op = jnp.asarray([1.2, 1.2], jnp.float32) if u_op is None else u_op
-        Ac = jax.jacfwd(qtp_ode, argnums=0)(x_op, u_op)
-        Bc = jax.jacfwd(qtp_ode, argnums=1)(x_op, u_op)
-        # exact ZOH via augmented expm
-        nx, nu = Bc.shape
-        M = jnp.zeros((nx + nu, nx + nu))
-        M = M.at[:nx, :nx].set(Ac).at[:nx, nx:].set(Bc) * dt
-        E = jax.scipy.linalg.expm(M)
-        return LinearDiscreteSystem(A=E[:nx, :nx], B=E[:nx, nx:], X=X_BOX, U=U_BOX)
+    Analytic jacobian + scipy expm: the design path triggers no XLA
+    compilation at all (see ops/condense.py condense_np)."""
+    import numpy as onp
+    import scipy.linalg as sla
+
+    x_op = onp.full(4, 0.65) if x_op is None else onp.asarray(x_op, onp.float64)
+    # d/dv sqrt(2 g v) = g / sqrt(2 g v)
+    dsq = G / onp.sqrt(2.0 * G * x_op)
+    Ac = onp.zeros((4, 4))
+    Ac[0, 0] = -A1 / S_TANK * dsq[0]
+    Ac[0, 2] = A3 / S_TANK * dsq[2]
+    Ac[1, 1] = -A2 / S_TANK * dsq[1]
+    Ac[1, 3] = A4 / S_TANK * dsq[3]
+    Ac[2, 2] = -A3 / S_TANK * dsq[2]
+    Ac[3, 3] = -A4 / S_TANK * dsq[3]
+    Bc = onp.zeros((4, 2))
+    Bc[0, 0] = GAMMA_A / (S_TANK * 3600)
+    Bc[1, 1] = GAMMA_B / (S_TANK * 3600)
+    Bc[2, 1] = (1 - GAMMA_B) / (S_TANK * 3600)
+    Bc[3, 0] = (1 - GAMMA_A) / (S_TANK * 3600)
+    M = onp.zeros((6, 6))
+    M[:4, :4] = Ac
+    M[:4, 4:] = Bc
+    E = sla.expm(M * dt)
+    return LinearDiscreteSystem(
+        A=jnp.asarray(E[:4, :4], jnp.float32),
+        B=jnp.asarray(E[:4, 4:], jnp.float32),
+        X=X_BOX,
+        U=U_BOX,
+    )
 
 
 def neural_continuous_system(apply_fn, params) -> NeuralContinuousSystem:

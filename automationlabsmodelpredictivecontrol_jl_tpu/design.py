@@ -18,7 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .ops import admm as admm_ops
-from .ops.condense import CondensedQpData, condense
+from .ops.condense import CondensedQpData, condense_np
 from .solvers.registry import engine_for, resolve_solver
 from .systems import (
     LinearContinuousSystem,
@@ -108,7 +108,7 @@ def _linear_engine(
     admm_config: admm_ops.AdmmConfig,
     soft_state_penalty: Optional[float] = None,
 ) -> LinearEngine:
-    qp = condense(
+    qp = condense_np(
         lin_system.A,
         lin_system.B,
         tuning.horizon,

@@ -235,6 +235,130 @@ def condense(
     )
 
 
+def condense_np(
+    A,
+    B,
+    horizon: int,
+    weights: Weights,
+    terminal: TerminalIngredient,
+    references: References,
+    X: Box,
+    U: Box,
+    state_constraint: bool,
+) -> CondensedQpData:
+    """Pure-numpy twin of :func:`condense` for the design path.
+
+    Controller design is host-side and once-per-controller; doing it in
+    numpy avoids ANY XLA compilation at design time (on an interactive TPU
+    attachment every design-time jit routes through a remote compile
+    service — hundreds of seconds for what numpy does in milliseconds).
+    Produces bitwise-compatible f32 arrays in the same CondensedQpData.
+    """
+    import numpy as onp
+
+    N = horizon
+    A64 = onp.asarray(A, onp.float64)
+    B64 = onp.asarray(B, onp.float64)
+    nx, nu = B64.shape
+    n = N * nu
+
+    # prediction operators by forward recursion
+    F = onp.zeros((N, nx, nx))
+    G = onp.zeros((N, N, nx, nu))
+    Fk = onp.eye(nx)
+    for k in range(N):
+        Gk = onp.zeros((N, nx, nu))
+        if k > 0:
+            Gk = onp.einsum("ab,jbc->jac", A64, G[k - 1])
+        Gk[k] = B64
+        Fk = A64 @ Fk
+        F[k] = Fk
+        G[k] = Gk
+    G_flat = G.transpose(0, 2, 1, 3).reshape(N * nx, N * nu)
+    F_flat = F.reshape(N * nx, nx)
+
+    Q = onp.asarray(weights.Q, onp.float64)
+    P_term = onp.asarray(terminal.P, onp.float64)
+    R = onp.asarray(weights.R, onp.float64)
+    S = onp.asarray(weights.S, onp.float64)
+    Qbar = onp.zeros((N * nx, N * nx))
+    for i in range(N):
+        Qbar[i * nx : (i + 1) * nx, i * nx : (i + 1) * nx] = (
+            P_term if i == N - 1 else Q
+        )
+    Rbar = onp.kron(onp.eye(N), R)
+
+    GtQ = G_flat.T @ Qbar
+    P_qp = 2.0 * (GtQ @ G_flat + Rbar)
+    q_x0 = 2.0 * (GtQ @ F_flat)
+
+    uref_stack = onp.asarray(references.u).T.reshape(-1)
+    xref_stack = onp.asarray(references.x).T[1:].reshape(-1)
+
+    q_const = onp.zeros(n)
+    if onp.any(S != 0.0):
+        eye = onp.eye(N)
+        Dstep = eye[:-1] - eye[1:]
+        D = onp.kron(Dstep, onp.eye(nu))
+        Sbar = onp.kron(onp.eye(N - 1), S)
+        P_qp = P_qp + 2.0 * D.T @ Sbar @ D
+        q_const = q_const + 2.0 * D.T @ Sbar @ (D @ uref_stack)
+
+    rows_A = [onp.eye(n)]
+    rows_l = [onp.tile(onp.asarray(U.lo, onp.float64), N) - uref_stack]
+    rows_u = [onp.tile(onp.asarray(U.hi, onp.float64), N) - uref_stack]
+    rows_bx0 = [onp.zeros((n, nx))]
+    if state_constraint:
+        rows_A.append(G_flat)
+        rows_l.append(onp.tile(onp.asarray(X.lo, onp.float64), N) - xref_stack)
+        rows_u.append(onp.tile(onp.asarray(X.hi, onp.float64), N) - xref_stack)
+        rows_bx0.append(-F_flat)
+
+    n_ball = 0
+    ball_c_x0 = onp.zeros((0, nx))
+    G_last = G_flat[-nx:]
+    F_last = F_flat[-nx:]
+    if terminal.kind == "equality":
+        rows_A.append(G_last)
+        rows_l.append(onp.zeros(nx))
+        rows_u.append(onp.zeros(nx))
+        rows_bx0.append(-F_last)
+    elif terminal.kind == "neighborhood":
+        if terminal.H is None or terminal.b is None:
+            raise ValueError("neighborhood terminal kind requires H, b")
+        H = onp.asarray(terminal.H, onp.float64)
+        rows_A.append(H @ G_last)
+        rows_l.append(onp.full(H.shape[0], -onp.inf))
+        rows_u.append(onp.asarray(terminal.b, onp.float64))
+        rows_bx0.append(-(H @ F_last))
+    elif terminal.kind == "contractive":
+        rows_A.append(G_last)
+        rows_l.append(onp.full(nx, -onp.inf))
+        rows_u.append(onp.full(nx, onp.inf))
+        rows_bx0.append(onp.zeros((nx, nx)))
+        n_ball = nx
+        ball_c_x0 = F_last
+
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    return CondensedQpData(
+        P=f32(P_qp),
+        A=f32(onp.concatenate(rows_A, axis=0)),
+        q_const=f32(q_const),
+        q_x0=f32(q_x0),
+        l_const=f32(onp.concatenate(rows_l)),
+        u_const=f32(onp.concatenate(rows_u)),
+        b_x0=f32(onp.concatenate(rows_bx0, axis=0)),
+        ball_c_x0=f32(ball_c_x0),
+        F=f32(F),
+        G_flat=f32(G_flat),
+        N=N,
+        nx=nx,
+        nu=nu,
+        n_ball=n_ball,
+        ball_radius_sq_factor=CONTRACTIVE_FACTOR,
+    )
+
+
 def runtime_qp_vectors(qp: CondensedQpData, e0: Array):
     """Per-solve (x0-dependent) QP vectors — 3 tiny GEMVs + a norm.
 

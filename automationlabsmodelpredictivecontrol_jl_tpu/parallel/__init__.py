@@ -5,6 +5,7 @@ from .scenarios import (
     init_warm_batch,
     make_mesh,
     solve_batch,
+    solve_batch_fused,
     solve_sharded,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "init_warm_batch",
     "make_mesh",
     "solve_batch",
+    "solve_batch_fused",
     "solve_sharded",
 ]

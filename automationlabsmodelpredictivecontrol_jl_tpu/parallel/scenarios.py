@@ -110,6 +110,71 @@ def solve_batch(
     return sol, wz, wy, _diagnostics(sol)
 
 
+def solve_batch_fused(
+    controller: MpcController,
+    x0s: Array,  # (B, nx)
+    warm_z: Optional[Array] = None,
+    warm_y: Optional[Array] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[MpcSolution, Array, Array, BatchDiagnostics]:
+    """Batched linear-MPC solves on the Pallas-fused ADMM kernel.
+
+    Same results/diagnostics contract as :func:`solve_batch`, restricted to
+    linear engines without ball rows (terminal kind != "contractive") or
+    soft rows — the general engine handles those. State for a whole chunk of
+    iterations stays in VMEM; see ops/admm_pallas.py.
+    """
+    from ..design import LinearEngine
+    from ..ops import admm_pallas
+    from ..ops.condense import runtime_qp_vectors
+    from ..solvers.sqp import true_objective
+
+    engine = controller.engine
+    if not isinstance(engine, LinearEngine):
+        raise ValueError("fused path requires a linear engine")
+    if engine.soft_mu is not None:
+        raise ValueError("fused path does not support soft rows; use solve_batch")
+    B = x0s.shape[0]
+    if warm_z is None or warm_y is None:
+        warm_z, warm_y = init_warm_batch(controller, B)
+
+    qp = engine.qp
+    tuning = controller.tuning
+    refs = tuning.references
+    e0s = x0s - refs.x[:, 0][None]
+    qv, lv, uv, _, _ = jax.vmap(lambda e0: runtime_qp_vectors(qp, e0))(e0s)
+
+    z, y, _, status, iters, rp, rd = admm_pallas.solve_batch_fused(
+        engine.op, qv, lv, uv, warm_z, warm_y,
+        config=engine.config, interpret=interpret,
+    )
+
+    N, nx, nu = qp.N, qp.nx, qp.nu
+    ex_tail = (
+        jnp.einsum("kn,bn->bk", qp.G_flat, z)
+        + jnp.einsum("kn,bn->bk", qp.F.reshape(N * nx, nx), e0s)
+    ).reshape(B, N, nx)
+    ex = jnp.concatenate([e0s[:, None], ex_tail], axis=1)  # (B, N+1, nx)
+    eu = z.reshape(B, N, nu)
+    xs = ex + refs.x.T[None]
+    us = eu + refs.u.T[None]
+    obj = jax.vmap(lambda xi, ui: true_objective(tuning, xi, ui))(xs, us)
+
+    sol = MpcSolution(
+        x=xs.transpose(0, 2, 1),
+        e_x=ex.transpose(0, 2, 1),
+        u=us.transpose(0, 2, 1),
+        e_u=eu.transpose(0, 2, 1),
+        status=status,
+        iterations=iters,
+        primal_residual=rp,
+        dual_residual=rd,
+        objective=obj,
+    )
+    wz_next = jnp.concatenate([eu[:, 1:], eu[:, -1:]], axis=1).reshape(B, -1)
+    return sol, wz_next, y, _diagnostics(sol)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = SCENARIO_AXIS) -> Mesh:
     """1-D device mesh over the scenario axis (ICI within a slice).
 

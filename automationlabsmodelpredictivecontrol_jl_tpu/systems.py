@@ -166,6 +166,30 @@ def as_discrete(
     return system
 
 
+def user_function_system(
+    f: Callable[[Array, Array], Array],
+    nx: int,
+    nu: int,
+    X: Box,
+    U: Box,
+    *,
+    discrete: bool = True,
+) -> Any:
+    """Wrap a user-defined dynamics function f(x, u) -> x_next (discrete) or
+    f(x, u) -> dx/dt (continuous) as a system — the reference's "physical"
+    model family (src/sub/model_modeler_implementation/physical/, which is
+    dead code there: never include'd and with an incomplete NL body,
+    SURVEY §2.3; here it is a first-class citizen)."""
+
+    def apply_fn(params, x, u):
+        return f(x, u)
+
+    cls = NeuralDiscreteSystem if discrete else NeuralContinuousSystem
+    return cls(
+        apply_fn=apply_fn, family="physical", nx=nx, nu=nu, params=None, X=X, U=U
+    )
+
+
 def linearize(system: Any, x0: Array, u0: Array) -> Tuple[Array, Array]:
     """Jacobian linearization A = ∂f/∂x, B = ∂f/∂u at (x0, u0).
 

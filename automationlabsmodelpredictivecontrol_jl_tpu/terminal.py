@@ -111,10 +111,26 @@ def create_terminal_ingredient(
     x_end = references.x[:, -1]
     u_end = references.u[:, -1]
     A, B = linearize(system, x_end, u_end)
-    P = solve_dare(A, B, weights.Q, weights.R)
+    # design-time DARE in scipy f64 (no XLA compile on the host path; the
+    # jittable/vmappable in-house solver ops/dare.py serves on-device use)
+    import scipy.linalg as sla
+
+    P = jnp.asarray(
+        sla.solve_discrete_are(
+            np.asarray(A, np.float64),
+            np.asarray(B, np.float64),
+            np.asarray(weights.Q, np.float64),
+            np.asarray(weights.R, np.float64),
+        ),
+        jnp.float32,
+    )
     H = b = None
     if kind == "neighborhood":
-        K = lqr_gain(A, B, weights.R, P)
+        A64 = np.asarray(A, np.float64)
+        B64 = np.asarray(B, np.float64)
+        P64 = np.asarray(P, np.float64)
+        R64 = np.asarray(weights.R, np.float64)
+        K = np.linalg.solve(R64 + B64.T @ P64 @ B64, B64.T @ P64 @ A64)
         H_np, b_np = invariant_terminal_set(
             A, B, K, system.X, system.U, x_end, u_end, max_depth=max_set_depth
         )

@@ -1,0 +1,57 @@
+"""Pallas-fused ADMM kernel vs the reference jax engine (interpret mode on
+the CPU test mesh; the real Mosaic compile runs in bench.py on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import automationlabsmodelpredictivecontrol_jl_tpu as mpc
+from automationlabsmodelpredictivecontrol_jl_tpu import parallel
+from automationlabsmodelpredictivecontrol_jl_tpu.benchmarks import qtp
+
+
+@pytest.fixture(scope="module")
+def controller():
+    sys = qtp.linearized_discrete_system()
+    return mpc.proceed_controller(
+        sys, "model_predictive_control", 10, 5.0, np.full(4, 0.65), np.full(2, 1.2)
+    )
+
+
+def _x0s(B, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        np.clip(0.65 + 0.1 * rng.standard_normal((B, 4)), 0.3, 1.3), jnp.float32
+    )
+
+
+def test_fused_matches_reference_engine(controller):
+    x0s = _x0s(8)
+    sol_ref, _, _, diag_ref = parallel.solve_batch(controller, x0s)
+    sol_f, _, _, diag_f = parallel.solve_batch_fused(controller, x0s)
+    assert int(diag_f.n_converged) == 8
+    np.testing.assert_allclose(
+        np.asarray(sol_f.u), np.asarray(sol_ref.u), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_f.x), np.asarray(sol_ref.x), atol=5e-4
+    )
+
+
+def test_fused_warm_start(controller):
+    x0s = _x0s(8, seed=1)
+    sol1, wz, wy, d1 = parallel.solve_batch_fused(controller, x0s)
+    sol2, _, _, d2 = parallel.solve_batch_fused(controller, x0s, wz, wy)
+    assert float(d2.mean_iterations) <= float(d1.mean_iterations)
+    assert int(d2.n_converged) == 8
+
+
+def test_fused_rejects_contractive(controller):
+    sys = qtp.linearized_discrete_system()
+    c = mpc.proceed_controller(
+        sys, "model_predictive_control", 5, 5.0, np.full(4, 0.65), np.full(2, 1.2),
+        mpc_terminal_ingredient="contractive",
+    )
+    with pytest.raises(ValueError, match="ball rows"):
+        parallel.solve_batch_fused(c, _x0s(8))

@@ -28,7 +28,9 @@ def test_terminal_cost_is_dare_solution():
     sys, refs, w = _sysrefs()
     term = create_terminal_ingredient(sys, "none", refs, w)
     P_direct = solve_dare(sys.A, sys.B, w.Q, w.R)
-    np.testing.assert_allclose(np.asarray(term.P), np.asarray(P_direct), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(term.P), np.asarray(P_direct), rtol=1e-4, atol=1e-2
+    )
     assert term.H is None and term.b is None
 
 
