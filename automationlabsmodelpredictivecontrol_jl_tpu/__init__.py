@@ -35,6 +35,7 @@ from .systems import (
     discretize,
     linearize,
     linearize_to_system,
+    takagi_sugeno_system,
     user_function_system,
 )
 from .design import (
@@ -101,6 +102,7 @@ __all__ = [
     "rollout",
     "solve_once",
     "step",
+    "takagi_sugeno_system",
     "update_and_compute",
     "update_initialization",
     "update_references",

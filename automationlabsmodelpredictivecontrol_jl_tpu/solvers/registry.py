@@ -27,12 +27,14 @@ _ADMISSIBLE = {
     "linear": ("osqp", "scip", "ipopt"),
     "non_linear": ("ipopt", "scip"),
     "mixed_linear": ("scip",),
+    "fuzzy_linear": ("ipopt", "scip"),
 }
 
 _AUTO = {
     "linear": "scip",  # parity quirk: auto-linear is SCIP, not OSQP (:56-65)
     "non_linear": "ipopt",
     "mixed_linear": "scip",
+    "fuzzy_linear": "ipopt",
 }
 
 # which in-house engine implements each (programming_type, solver) pair
@@ -40,6 +42,10 @@ _ENGINE = {
     "linear": "admm",
     "non_linear": "sqp",
     "mixed_linear": "sqp",  # documented divergence from branch-and-bound
+    # Takagi-Sugeno: an orphaned tag in the reference (types.jl:223) and a
+    # CHANGELOG roadmap item there — implemented here via the SQP engine
+    # over blended TS dynamics (systems.takagi_sugeno_system)
+    "fuzzy_linear": "sqp",
 }
 
 
@@ -47,11 +53,6 @@ def resolve_solver(programming_type: str, solver_name: str) -> str:
     """Validate + resolve a solver name ('auto' included) for a programming
     type; returns the resolved solver *name* (reference-vocabulary)."""
     if programming_type not in _ADMISSIBLE:
-        if programming_type == "fuzzy_linear":
-            raise NotImplementedError(
-                "fuzzy_linear (Takagi-Sugeno) is an orphaned tag in the "
-                "reference too (types.jl:223); not implemented"
-            )
         raise ValueError(
             f"unknown programming type {programming_type!r}; "
             f"available: {PROGRAMMING_TYPES}"

@@ -166,6 +166,47 @@ def as_discrete(
     return system
 
 
+def takagi_sugeno_system(
+    As: Array,  # (M, nx, nx) local models
+    Bs: Array,  # (M, nx, nu)
+    centers: Array,  # (M, nx) membership centers
+    widths: Array,  # (M,) or (M, nx) Gaussian membership widths
+    X: Box,
+    U: Box,
+) -> "NeuralDiscreteSystem":
+    """Takagi-Sugeno multi-model system: x+ = sum_i mu_i(x) (A_i x + B_i u)
+    with normalized Gaussian memberships mu_i.
+
+    The reference reserves a FuzzyProgramming tag for this but never
+    implements it (types.jl:223 orphaned; CHANGELOG roadmap "Takagi Sugeno
+    MPC design"). Here the blended dynamics are just another smooth model —
+    the SQP engine handles them natively, and "fuzzy_linear" programming
+    routes there (solvers/registry.py)."""
+    params = {
+        "As": jnp.asarray(As, jnp.float32),
+        "Bs": jnp.asarray(Bs, jnp.float32),
+        "centers": jnp.asarray(centers, jnp.float32),
+        "widths": jnp.asarray(widths, jnp.float32),
+    }
+    nx = params["As"].shape[-1]
+    nu = params["Bs"].shape[-1]
+
+    def apply_fn(p, x, u):
+        d2 = jnp.sum(((x[None, :] - p["centers"]) /
+                      jnp.atleast_2d(p["widths"].reshape(p["centers"].shape[0], -1)))
+                     ** 2, axis=-1)
+        w = jax.nn.softmax(-0.5 * d2)
+        xs = jnp.einsum("mij,j->mi", p["As"], x) + jnp.einsum(
+            "mij,j->mi", p["Bs"], u
+        )
+        return jnp.einsum("m,mi->i", w, xs)
+
+    return NeuralDiscreteSystem(
+        apply_fn=apply_fn, family="takagi_sugeno", nx=int(nx), nu=int(nu),
+        params=params, X=X, U=U,
+    )
+
+
 def user_function_system(
     f: Callable[[Array, Array], Array],
     nx: int,

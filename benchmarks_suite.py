@@ -1,0 +1,174 @@
+"""Full benchmark suite over the BASELINE.json configs.
+
+`bench.py` prints the single headline line the driver records; this script
+covers the rest of the matrix:
+
+  1. linear MPC, horizon 20, condensed ADMM (fused kernel)   [= bench.py]
+  2. linear MPC + terminal ingredients (equality / neighborhood)
+  3. nonlinear MPC over an Fnn model (SQP, jacfwd linearization)
+  4. nonlinear MPC over ResNet with soft state constraints
+  5. batched scenario MPC: 10k initial conditions (+ sharded when a mesh
+     with >1 device is available), with scaling efficiency vs 1 device
+
+Prints one JSON line per config. Run on TPU for real numbers; runs on CPU
+(slow, interpret-mode kernels) for mechanics.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _timeit(fn, reps=5):
+    import jax
+
+    out = fn()
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    return (time.perf_counter() - t0) / reps, out
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import automationlabsmodelpredictivecontrol_jl_tpu as mpc
+    from automationlabsmodelpredictivecontrol_jl_tpu import parallel
+    from automationlabsmodelpredictivecontrol_jl_tpu.benchmarks import qtp
+    from automationlabsmodelpredictivecontrol_jl_tpu.ops.admm import AdmmConfig
+    from automationlabsmodelpredictivecontrol_jl_tpu.solvers.sqp import SqpConfig
+
+    results = []
+    x_ref = np.full(4, 0.65, np.float32)
+    u_ref = np.full(2, 1.2, np.float32)
+    sys_lin = qtp.linearized_discrete_system()
+    rng = np.random.default_rng(0)
+
+    def emit(name, solves_per_sec, batch, extras=None):
+        line = {
+            "metric": name,
+            "value": round(solves_per_sec, 1),
+            "unit": "solves/s",
+            "batch": batch,
+        }
+        if extras:
+            line.update(extras)
+        results.append(line)
+        print(json.dumps(line), flush=True)
+
+    # ---- config 2: terminal ingredients --------------------------------
+    # x0 spread is small: the QTP linearization is weakly reachable
+    # (sigma_min(R_N) ~ 5e-4), so exact terminal equality is only
+    # input-box-feasible near the reference. Full rho grid: equality rows
+    # want small rho (the (1,10) headline grid stalls on the dual residual).
+    B = 2048
+    x0s_near = jnp.asarray(
+        0.65 + 0.002 * rng.standard_normal((B, 4)).astype(np.float32)
+    )
+    for kind in ("equality", "neighborhood"):
+        c = mpc.proceed_controller(
+            sys_lin, "model_predictive_control", 20, 5.0, x_ref, u_ref,
+            mpc_terminal_ingredient=kind,
+            admm_config=AdmmConfig(max_iter=1000),
+        )
+        wz, wy = parallel.init_warm_batch(c, B)
+        solve = jax.jit(lambda x, z, y, c=c: parallel.solve_batch_fused(c, x, z, y))
+        dt, (_, _, _, diag) = _timeit(lambda: solve(x0s_near, wz, wy))
+        emit(
+            f"linear_mpc_terminal_{kind}_h20",
+            B / dt,
+            B,
+            {"converged_fraction": round(int(diag.n_converged) / B, 4)},
+        )
+
+    # ---- config 3: Fnn nonlinear MPC (SQP) -----------------------------
+    key = jax.random.PRNGKey(0)
+    apply_fn, params = mpc.init_model("fnn", key, 4, 2, hidden=16, depth=2)
+    sys_fnn = mpc.NeuralDiscreteSystem(
+        apply_fn=apply_fn, family="fnn", nx=4, nu=2, params=params,
+        X=qtp.X_BOX, U=qtp.U_BOX,
+    )
+    B = 256
+    c3 = mpc.proceed_controller(
+        sys_fnn, "model_predictive_control", 10, 5.0, x_ref, u_ref,
+        sqp_config=SqpConfig(max_sqp_iter=8),
+    )
+    x0s = jnp.asarray(
+        np.clip(0.65 + 0.05 * rng.standard_normal((B, 4)), 0.3, 1.3), np.float32
+    )
+    wz, wy = parallel.init_warm_batch(c3, B)
+    solve3 = jax.jit(lambda x, z, y: parallel.solve_batch(c3, x, z, y))
+    dt, (_, _, _, diag) = _timeit(lambda: solve3(x0s, wz, wy), reps=3)
+    emit(
+        "nonlinear_mpc_fnn_sqp_h10",
+        B / dt,
+        B,
+        {"converged_fraction": round(int(diag.n_converged) / B, 4)},
+    )
+
+    # ---- config 4: ResNet + soft state constraints ---------------------
+    apply_fn, params = mpc.init_model("resnet", jax.random.PRNGKey(1), 4, 2,
+                                      hidden=16, depth=2)
+    sys_res = mpc.NeuralDiscreteSystem(
+        apply_fn=apply_fn, family="resnet", nx=4, nu=2, params=params,
+        X=qtp.X_BOX, U=qtp.U_BOX,
+    )
+    c4 = mpc.proceed_controller(
+        sys_res, "model_predictive_control", 10, 5.0, x_ref, u_ref,
+        mpc_state_constraint=True,
+        sqp_config=SqpConfig(max_sqp_iter=8),
+    )
+    wz, wy = parallel.init_warm_batch(c4, B)
+    solve4 = jax.jit(lambda x, z, y: parallel.solve_batch(c4, x, z, y))
+    dt, (_, _, _, diag) = _timeit(lambda: solve4(x0s, wz, wy), reps=3)
+    emit(
+        "nonlinear_mpc_resnet_soft_h10",
+        B / dt,
+        B,
+        {"converged_fraction": round(int(diag.n_converged) / B, 4)},
+    )
+
+    # ---- config 5: 10k scenarios + scaling efficiency ------------------
+    B = 10240
+    c5 = mpc.proceed_controller(
+        sys_lin, "model_predictive_control", 20, 5.0, x_ref, u_ref,
+        admm_config=AdmmConfig(max_iter=400, rho=1.0, rho_grid=(1.0, 10.0)),
+    )
+    x0s = jnp.asarray(
+        np.clip(0.65 + 0.15 * rng.standard_normal((B, 4)), 0.25, 1.3), np.float32
+    )
+    wz, wy = parallel.init_warm_batch(c5, B)
+    solve5 = jax.jit(lambda x, z, y: parallel.solve_batch_fused(c5, x, z, y))
+    dt1, (_, _, _, diag) = _timeit(lambda: solve5(x0s, wz, wy))
+    emit(
+        "scenario_mpc_10k_h20_single_device",
+        B / dt1,
+        B,
+        {"converged_fraction": round(int(diag.n_converged) / B, 4)},
+    )
+
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        mesh = parallel.make_mesh(n_dev)
+        solve_sh = jax.jit(
+            lambda x, z, y: parallel.solve_sharded(c5, x, mesh, z, y)
+        )
+        dt_n, _ = _timeit(lambda: solve_sh(x0s, wz, wy))
+        eff = (B / dt_n) / (n_dev * (B / dt1))
+        emit(
+            f"scenario_mpc_10k_h20_{n_dev}dev",
+            B / dt_n,
+            B,
+            {"devices": n_dev, "scaling_efficiency": round(eff, 3)},
+        )
+
+    with open("BENCH_SUITE.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
