@@ -228,6 +228,26 @@ def _design_controller_impl(
         state_constraint=bool(state_constraint),
     )
 
+    if engine_kind == "milp":
+        from .solvers import milp as milp_mod
+
+        if not is_neural:
+            raise ValueError(
+                "mixed_linear programming requires a learned ReLU-network "
+                "system (the reference's MILP modelers exist only for "
+                "fnn/icnn/resnet/densenet/polynet, SURVEY.md §2.3)"
+            )
+        engine = milp_mod.build_engine(sys_d, tuning)
+        return MpcController(
+            system=sys_d,
+            tuning=tuning,
+            engine=engine,
+            initialization=jnp.zeros((nx,), jnp.float32),
+            warm_z=jnp.zeros((engine.n,), jnp.float32),
+            warm_y=jnp.zeros((engine.m,), jnp.float32),
+            results=None,
+        )
+
     if engine_kind == "admm":
         admm_config = admm_config or admm_ops.AdmmConfig()
         # "Linear" programming on a learned family: linearize at the FIRST

@@ -40,6 +40,11 @@ MODEL_FAMILIES = (
     "rknn2",
     "rknn4",
     "physical",
+    # recurrent families — a reference roadmap item (CHANGELOG.md roadmap)
+    # shipped here: the cell's recurrent state is the plant state
+    "rnn",
+    "lstm",
+    "gru",
 )
 
 
@@ -290,6 +295,76 @@ def neuralode_apply(params, x, u, activation="tanh", substeps=4):
 
 
 # ---------------------------------------------------------------------------
+# Families: rnn / lstm / gru — recurrent cells as dynamics maps. A roadmap
+# item the reference never shipped ("recurrent neural networks",
+# CHANGELOG.md roadmap); here the cell's recurrent state IS the plant state,
+# so x_{k+1} = cell(x_k, u_k) keeps the common apply contract. For the LSTM
+# the state is the concatenation [h; c] (nx must be even).
+# ---------------------------------------------------------------------------
+def rnn_init(key, nx, nu, hidden=None, depth=None):
+    """Elman cell: x' = tanh(Wx x + Wu u + b)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "Wx": _dense_init(k1, nx, nx),
+        "Wu": _dense_init(k2, nu, nx),
+        "b": jnp.zeros((nx,), jnp.float32),
+    }
+
+
+def rnn_apply(params, x, u, activation="tanh"):
+    act = get_activation(activation)
+    return act(params["Wx"] @ x + params["Wu"] @ u + params["b"])
+
+
+def gru_init(key, nx, nu, hidden=None, depth=None):
+    """GRU cell with input u and recurrent state x (gates z, r, candidate n)."""
+    ks = jax.random.split(key, 6)
+    return {
+        "Wz": _dense_init(ks[0], nx, nx), "Uz": _dense_init(ks[1], nu, nx),
+        "Wr": _dense_init(ks[2], nx, nx), "Ur": _dense_init(ks[3], nu, nx),
+        "Wn": _dense_init(ks[4], nx, nx), "Un": _dense_init(ks[5], nu, nx),
+        "bz": jnp.zeros((nx,), jnp.float32),
+        "br": jnp.zeros((nx,), jnp.float32),
+        "bn": jnp.zeros((nx,), jnp.float32),
+    }
+
+
+def gru_apply(params, x, u, activation="tanh"):
+    z = jax.nn.sigmoid(params["Wz"] @ x + params["Uz"] @ u + params["bz"])
+    r = jax.nn.sigmoid(params["Wr"] @ x + params["Ur"] @ u + params["br"])
+    nvec = jnp.tanh(params["Wn"] @ (r * x) + params["Un"] @ u + params["bn"])
+    return (1.0 - z) * nvec + z * x
+
+
+def lstm_init(key, nx, nu, hidden=None, depth=None):
+    """LSTM cell; the plant state stacks [h; c], so nx must be even."""
+    if nx % 2 != 0:
+        raise ValueError("lstm family needs an even state dimension ([h; c])")
+    nh = nx // 2
+    ks = jax.random.split(key, 8)
+    p = {}
+    for i, g in enumerate(("i", "f", "g", "o")):
+        p[f"W{g}"] = _dense_init(ks[2 * i], nh, nh)
+        p[f"U{g}"] = _dense_init(ks[2 * i + 1], nu, nh)
+        p[f"b{g}"] = jnp.zeros((nh,), jnp.float32)
+    # forget-gate bias 1.0: the standard stability trick
+    p["bf"] = jnp.ones((nh,), jnp.float32)
+    return p
+
+
+def lstm_apply(params, x, u, activation="tanh"):
+    nh = x.shape[-1] // 2
+    h, c = x[:nh], x[nh:]
+    gi = jax.nn.sigmoid(params["Wi"] @ h + params["Ui"] @ u + params["bi"])
+    gf = jax.nn.sigmoid(params["Wf"] @ h + params["Uf"] @ u + params["bf"])
+    gg = jnp.tanh(params["Wg"] @ h + params["Ug"] @ u + params["bg"])
+    go = jax.nn.sigmoid(params["Wo"] @ h + params["Uo"] @ u + params["bo"])
+    c_new = gf * c + gi * gg
+    h_new = go * jnp.tanh(c_new)
+    return jnp.concatenate([h_new, c_new], axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # Registry + constructors
 # ---------------------------------------------------------------------------
 _INITS = {
@@ -303,6 +378,9 @@ _INITS = {
     "rknn1": rknn1_init,
     "rknn2": rknn2_init,
     "rknn4": rknn4_init,
+    "rnn": rnn_init,
+    "gru": gru_init,
+    "lstm": lstm_init,
 }
 
 _APPLIES = {
@@ -316,6 +394,9 @@ _APPLIES = {
     "rknn1": rknn1_apply,
     "rknn2": rknn2_apply,
     "rknn4": rknn4_apply,
+    "rnn": rnn_apply,
+    "gru": gru_apply,
+    "lstm": lstm_apply,
 }
 
 
@@ -342,6 +423,9 @@ def init_model(
         "rknn1": "tanh",
         "rknn2": "tanh",
         "rknn4": "tanh",
+        "rnn": "tanh",
+        "gru": "tanh",
+        "lstm": "tanh",
     }.get(family, "relu")
     act = activation or default_act
     init = _INITS[family]

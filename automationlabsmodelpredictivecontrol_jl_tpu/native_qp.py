@@ -50,6 +50,22 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_double, dp, dp, ip, ip, dp, dp,
     ]
+    lib.qpref_solve_miqp.restype = ctypes.c_int
+    lib.qpref_solve_miqp.argtypes = [
+        ctypes.c_int, ctypes.c_int, dp, dp, dp, dp, dp,
+        ctypes.c_int, ip, ip,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int, ctypes.c_double,
+        dp, dp, dp, ip, ip,
+    ]
+    lib.qpref_solve_relu_bb.restype = ctypes.c_int
+    lib.qpref_solve_relu_bb.argtypes = [
+        ctypes.c_int, ctypes.c_int, dp, dp, dp, dp, dp,
+        ctypes.c_int, ip, ip, ip, ip, dp, dp, dp,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int, ctypes.c_double,
+        dp, dp, dp, ip, ip,
+    ]
     _lib = lib
     return lib
 
@@ -97,6 +113,125 @@ def solve_qp(
         _dp(z), _dp(y), ctypes.byref(iters), ctypes.byref(rp), ctypes.byref(rd),
     )
     return z, y, int(status), int(iters.value), float(rp.value), float(rd.value)
+
+
+MIQP_OPTIMAL = 0
+MIQP_NODE_LIMIT = 1
+MIQP_INFEASIBLE = 2
+
+
+def solve_miqp(
+    P: np.ndarray,
+    q: np.ndarray,
+    A: np.ndarray,
+    l: np.ndarray,
+    u: np.ndarray,
+    bin_rows: np.ndarray,
+    bin_cols: np.ndarray,
+    max_iter: int = 20000,
+    eps_abs: float = 1e-9,
+    eps_rel: float = 1e-9,
+    rho: float = 0.1,
+    sigma: float = 1e-6,
+    alpha: float = 1.6,
+    max_nodes: int = 100000,
+    int_tol: float = 1e-5,
+) -> Tuple[np.ndarray, np.ndarray, int, int, float]:
+    """Branch-and-bound MIQP: z[bin_cols] binary, [0,1] boxes at A rows
+    ``bin_rows``. The in-house stand-in for the reference's SCIP MILP
+    back-end (solver_selection.jl:108-114).
+
+    Returns (z, y, status in {MIQP_*}, nodes, objective)."""
+    lib = _load()
+    P = np.ascontiguousarray(P, np.float64)
+    q = np.ascontiguousarray(q, np.float64)
+    A = np.ascontiguousarray(A, np.float64)
+    l = np.ascontiguousarray(l, np.float64)
+    u = np.ascontiguousarray(u, np.float64)
+    bin_rows = np.ascontiguousarray(bin_rows, np.int32)
+    bin_cols = np.ascontiguousarray(bin_cols, np.int32)
+    n = P.shape[0]
+    m = A.shape[0]
+    nb = bin_rows.shape[0]
+    z = np.zeros(n)
+    y = np.zeros(m)
+    obj = ctypes.c_double(0.0)
+    nodes = ctypes.c_int(0)
+    status = ctypes.c_int(0)
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.qpref_solve_miqp(
+        n, m, _dp(P), _dp(q), _dp(A), _dp(l), _dp(u),
+        nb, bin_rows.ctypes.data_as(ip), bin_cols.ctypes.data_as(ip),
+        max_iter, eps_abs, eps_rel, rho, sigma, alpha, max_nodes, int_tol,
+        _dp(z), _dp(y), ctypes.byref(obj), ctypes.byref(nodes),
+        ctypes.byref(status),
+    )
+    return z, y, int(status.value), int(nodes.value), float(obj.value)
+
+
+def solve_relu_bb(
+    P: np.ndarray,
+    q: np.ndarray,
+    A: np.ndarray,
+    l: np.ndarray,
+    u: np.ndarray,
+    row_ge: np.ndarray,
+    row_a: np.ndarray,
+    row_rbox: np.ndarray,
+    col_r: np.ndarray,
+    lo_a: np.ndarray,
+    hi_a: np.ndarray,
+    a_bias: Optional[np.ndarray] = None,
+    max_iter: int = 20000,
+    eps_abs: float = 1e-9,
+    eps_rel: float = 1e-9,
+    rho: float = 0.1,
+    sigma: float = 1e-6,
+    alpha: float = 1.6,
+    max_nodes: int = 100000,
+    phase_tol: float = 1e-6,
+) -> Tuple[np.ndarray, np.ndarray, int, int, float]:
+    """Exact-ReLU branch-and-bound (phase branching + triangle relaxation):
+    the in-house stand-in for the reference's SCIP big-M MILP back-end
+    (solver_selection.jl:108-114). Per unstable neuron: its r>=a row, its
+    a-range row, its r box row, the r column, and [lo_a, hi_a] (a-space;
+    ``a_bias`` is the affine constant c with row value = a - c).
+
+    Returns (z, y, status in {MIQP_*}, nodes, objective)."""
+    lib = _load()
+    P = np.ascontiguousarray(P, np.float64)
+    q = np.ascontiguousarray(q, np.float64)
+    A = np.ascontiguousarray(A, np.float64)
+    l = np.ascontiguousarray(l, np.float64)
+    u = np.ascontiguousarray(u, np.float64)
+    row_ge = np.ascontiguousarray(row_ge, np.int32)
+    row_a = np.ascontiguousarray(row_a, np.int32)
+    row_rbox = np.ascontiguousarray(row_rbox, np.int32)
+    col_r = np.ascontiguousarray(col_r, np.int32)
+    lo_a = np.ascontiguousarray(lo_a, np.float64)
+    hi_a = np.ascontiguousarray(hi_a, np.float64)
+    if a_bias is None:
+        a_bias = np.zeros_like(lo_a)
+    a_bias = np.ascontiguousarray(a_bias, np.float64)
+    n = P.shape[0]
+    m = A.shape[0]
+    nb = row_ge.shape[0]
+    z = np.zeros(n)
+    y = np.zeros(m)
+    obj = ctypes.c_double(0.0)
+    nodes = ctypes.c_int(0)
+    status = ctypes.c_int(0)
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.qpref_solve_relu_bb(
+        n, m, _dp(P), _dp(q), _dp(A), _dp(l), _dp(u),
+        nb, row_ge.ctypes.data_as(ip), row_a.ctypes.data_as(ip),
+        row_rbox.ctypes.data_as(ip), col_r.ctypes.data_as(ip),
+        _dp(lo_a), _dp(hi_a), _dp(a_bias),
+        max_iter, eps_abs, eps_rel, rho, sigma, alpha, max_nodes, phase_tol,
+        _dp(z), _dp(y), ctypes.byref(obj), ctypes.byref(nodes),
+        ctypes.byref(status),
+    )
+    return z, y, int(status.value), int(nodes.value), float(obj.value)
 
 
 def solve_qp_batch(

@@ -100,10 +100,17 @@ def solve_once(
 ) -> Tuple[MpcSolution, Array, Array]:
     """Pure solve at state x0 with explicit warm state (vmap-friendly:
     map over (x0, warm_z, warm_y) for batched scenario solves)."""
+    from .solvers.milp import MilpEngine, solve_milp
+
     if isinstance(controller.engine, LinearEngine):
         return _solve_linear(
             controller.engine, controller.tuning, controller.system, x0, warm_z, warm_y
         )
+    if isinstance(controller.engine, MilpEngine):
+        # host engine (crosses into native/qpref, like the reference's SCIP
+        # boundary, SURVEY.md §3.2): not jit/vmap-able by design
+        sol = solve_milp(controller.engine, controller.tuning, x0)
+        return sol, warm_z, warm_y
     return _solve_sqp(
         controller.engine, controller.tuning, controller.system, x0, warm_z, warm_y
     )

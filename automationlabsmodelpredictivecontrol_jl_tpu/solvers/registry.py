@@ -10,11 +10,12 @@ API parity with the reference's solver layer (solver_selection.jl):
   mixed → scip (:78-87).
 
 The *names* are kept for drop-in parity, but every name maps to an
-in-house TPU engine: linear programs solve on the batched ADMM QP engine
+in-house engine: linear programs solve on the batched ADMM QP engine
 (the OSQP-equivalent), nonlinear programs on the SQP engine (the
-Ipopt-equivalent). The branch-and-bound MILP path (big-M ReLU, SCIP) is a
-documented divergence (SURVEY §2.9): ReLU-network MPC is handled by the
-exact nonlinear path instead of binarization.
+Ipopt-equivalent), and mixed-integer programs on the in-house
+branch-and-bound MIQP solver in the native C++ runtime (the
+SCIP-equivalent; big-M ReLU transcription in solvers/milp.py, host-side —
+ReLU-network MPC on TPU is better served by the exact nonlinear path).
 """
 
 from __future__ import annotations
@@ -41,7 +42,7 @@ _AUTO = {
 _ENGINE = {
     "linear": "admm",
     "non_linear": "sqp",
-    "mixed_linear": "sqp",  # documented divergence from branch-and-bound
+    "mixed_linear": "milp",  # native C++ branch-and-bound (SCIP-equivalent)
     # Takagi-Sugeno: an orphaned tag in the reference (types.jl:223) and a
     # CHANGELOG roadmap item there — implemented here via the SQP engine
     # over blended TS dynamics (systems.takagi_sugeno_system)
@@ -72,5 +73,5 @@ def resolve_solver(programming_type: str, solver_name: str) -> str:
 
 
 def engine_for(programming_type: str) -> str:
-    """In-house engine backing a programming type: 'admm' or 'sqp'."""
+    """In-house engine backing a programming type: 'admm', 'sqp' or 'milp'."""
     return _ENGINE[programming_type]

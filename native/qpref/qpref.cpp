@@ -12,9 +12,13 @@
 //
 // C ABI only — consumed via ctypes (no pybind11 in the image).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
+#include <limits>
+#include <cstdlib>
 #include <vector>
 
 namespace {
@@ -159,23 +163,32 @@ int qpref_solve(int n, int m, const double* P_in, const double* q_in,
     u[r] = std::isfinite(u_in[r]) ? E[r] * u_in[r] : u_in[r];
   }
 
-  std::vector<double> rho(m), rho_inv(m);
-  for (int i = 0; i < m; ++i) {
-    const bool eq =
+  std::vector<bool> is_eq(m);
+  for (int i = 0; i < m; ++i)
+    is_eq[i] =
         std::isfinite(l[i]) && std::isfinite(u[i]) && l_in[i] == u_in[i];
-    rho[i] = eq ? rho0 * kEqRhoScale : rho0;
-    rho_inv[i] = 1.0 / rho[i];
-  }
 
-  // K = P_s + sigma I + A_s' diag(rho) A_s, factorized once.
+  // K = P_s + sigma I + A_s' diag(rho) A_s; refactorized when the OSQP-style
+  // rho adaptation (§5.2 of the OSQP paper) changes the penalty by >5x —
+  // the adaptation is what keeps degenerate node QPs (branch-and-bound
+  // subproblems with phase-fixed rows) from crawling.
+  double rho_cur = rho0;
+  std::vector<double> rho(m), rho_inv(m);
   std::vector<double> K(static_cast<size_t>(n) * n);
-  for (int i = 0; i < n; ++i)
-    for (int j = 0; j < n; ++j) {
-      double s = P[i * n + j] + (i == j ? sigma : 0.0);
-      for (int r = 0; r < m; ++r) s += A[r * n + i] * rho[r] * A[r * n + j];
-      K[i * n + j] = s;
+  auto factorize = [&]() -> int {
+    for (int i = 0; i < m; ++i) {
+      rho[i] = is_eq[i] ? rho_cur * kEqRhoScale : rho_cur;
+      rho_inv[i] = 1.0 / rho[i];
     }
-  if (cholesky(K, n) != 0) return QPREF_MAX_ITER;
+    for (int i = 0; i < n; ++i)
+      for (int j = 0; j < n; ++j) {
+        double s = P[i * n + j] + (i == j ? sigma : 0.0);
+        for (int r = 0; r < m; ++r) s += A[r * n + i] * rho[r] * A[r * n + j];
+        K[i * n + j] = s;
+      }
+    return cholesky(K, n);
+  };
+  if (factorize() != 0) return QPREF_MAX_ITER;
 
   // warm start into scaled space: x_s = z / D, y_s = c y / E
   std::vector<double> x(n), yv(m);
@@ -250,6 +263,20 @@ int qpref_solve(int n, int m, const double* P_in, const double* q_in,
       if (rp <= eps_p && rd <= eps_d) {
         status = QPREF_CONVERGED;
         break;
+      }
+
+      // OSQP rho adaptation: rho <- rho sqrt(rp_rel / rd_rel), refactorize
+      // only on >5x change
+      {
+        const double rp_rel = rp / std::max({ax_n, s_n, 1e-12});
+        const double rd_rel = rd / std::max({q_n, px_n, aty_n, 1e-12});
+        if (rd_rel > 1e-16 && rp_rel > 1e-16) {
+          const double scale = std::sqrt(rp_rel / rd_rel);
+          if (scale > 5.0 || scale < 0.2) {
+            rho_cur = clamp(rho_cur * scale, 1e-6, 1e6);
+            if (factorize() != 0) return QPREF_MAX_ITER;
+          }
+        }
       }
 
       // primal infeasibility certificate from the unscaled dual delta
@@ -371,6 +398,360 @@ int qpref_solve(int n, int m, const double* P_in, const double* q_in,
   *rprim = rp;
   *rdual = rd;
   return status;
+}
+
+// ---------------------------------------------------------------------------
+// MIQP branch-and-bound: min 0.5 z'Pz + q'z  s.t. l <= Az <= u,
+// z[bin_cols[i]] in {0,1}. This is the framework's in-house counterpart of
+// the SCIP branch-and-bound MILP back-end the reference reaches for its
+// big-M ReLU transcriptions (solver_selection.jl:108-114, fnn/...:193-330).
+// Depth-first best-child-first search; node relaxations solved by the ADMM
+// engine above (warm-started, polished). Each binary's [0,1] box must be a
+// dedicated row of A, identified by bin_rows[i], which the search tightens
+// per node.
+//
+// Returns: 0 optimal (within tolerances), 1 node-limit hit (best incumbent
+// returned), 2 no integer-feasible point found.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+double qp_objective(int n, const double* P, const double* q, const double* z) {
+  double obj = 0.0;
+  for (int i = 0; i < n; ++i) {
+    double pz = 0.0;
+    for (int j = 0; j < n; ++j) pz += P[i * n + j] * z[j];
+    obj += z[i] * (0.5 * pz + q[i]);
+  }
+  return obj;
+}
+
+}  // namespace
+
+enum MiqpStatus {
+  MIQP_OPTIMAL = 0,
+  MIQP_NODE_LIMIT = 1,
+  MIQP_INFEASIBLE = 2,
+};
+
+int qpref_solve_miqp(int n, int m, const double* P, const double* q,
+                     const double* A, const double* l_in, const double* u_in,
+                     int nb, const int* bin_rows, const int* bin_cols,
+                     int max_iter, double eps_abs, double eps_rel, double rho0,
+                     double sigma, double alpha, int max_nodes, double int_tol,
+                     double* z, double* y, double* obj_out, int* nodes_out,
+                     int* status_out) {
+  // node = per-binary domain: -1 free in [0,1], 0 fixed 0, 1 fixed 1
+  std::vector<std::vector<int8_t>> stack;
+  stack.push_back(std::vector<int8_t>(nb, -1));
+
+  std::vector<double> l(l_in, l_in + m), u(u_in, u_in + m);
+  std::vector<double> zn(n, 0.0), yn(m, 0.0);
+  std::vector<double> z_best, y_best;
+  double best = 1e300;
+  bool have_incumbent = false;
+  int nodes = 0;
+  bool node_limit = false;
+
+  while (!stack.empty()) {
+    if (nodes >= max_nodes) {
+      node_limit = true;
+      break;
+    }
+    std::vector<int8_t> dom = stack.back();
+    stack.pop_back();
+    ++nodes;
+
+    for (int i = 0; i < nb; ++i) {
+      const int r = bin_rows[i];
+      l[r] = dom[i] == 1 ? 1.0 : 0.0;
+      u[r] = dom[i] == 0 ? 0.0 : 1.0;
+    }
+
+    int iters = 0;
+    double rp = 0.0, rd = 0.0;
+    // warm start from the last solved node (DFS locality)
+    const int st = qpref_solve(n, m, P, q, A, l.data(), u.data(), max_iter,
+                               eps_abs, eps_rel, rho0, sigma, alpha, zn.data(),
+                               yn.data(), &iters, &rp, &rd);
+    if (std::getenv("QPREF_DEBUG")) {
+      std::fprintf(stderr, "[miqp] node %d st %d it %d rp %.2e obj %.6f\n",
+                   nodes, st, iters, rp,
+                   qp_objective(n, P, q, zn.data()));
+    }
+    if (st == QPREF_PRIMAL_INFEASIBLE || st == QPREF_DUAL_INFEASIBLE) continue;
+    // ADMM stalls (rather than certifies) on infeasible nodes whose rows
+    // have one-sided infinite bounds (no support-function certificate):
+    // a node that maxed out iterations with a large primal residual is
+    // treated as infeasible, like a node-LP presolve cutoff would.
+    if (st == QPREF_MAX_ITER && rp > 1e-4) {
+      zn.assign(n, 0.0);  // poisoned iterate: don't warm-start siblings
+      yn.assign(m, 0.0);
+      continue;
+    }
+
+    const double obj = qp_objective(n, P, q, zn.data());
+    const double slack = 1e-6 * (1.0 + std::fabs(obj));
+    if (have_incumbent && obj >= best - slack) continue;  // bound prune
+
+    // fractionality check
+    int branch_i = -1;
+    double worst_frac = int_tol;
+    for (int i = 0; i < nb; ++i) {
+      if (dom[i] != -1) continue;
+      const double v = zn[bin_cols[i]];
+      const double frac = std::fabs(v - std::floor(v + 0.5));
+      if (frac > worst_frac) {
+        worst_frac = frac;
+        branch_i = i;
+      }
+    }
+
+    if (branch_i < 0) {
+      // integral (within tol): fix rounded binaries, re-solve exactly
+      std::vector<double> lf = l, uf = u, zc = zn, yc = yn;
+      for (int i = 0; i < nb; ++i) {
+        const double v = dom[i] == -1 ? std::floor(zn[bin_cols[i]] + 0.5)
+                                      : static_cast<double>(dom[i]);
+        lf[bin_rows[i]] = v;
+        uf[bin_rows[i]] = v;
+      }
+      int it2 = 0;
+      double rp2 = 0.0, rd2 = 0.0;
+      const int st2 = qpref_solve(n, m, P, q, A, lf.data(), uf.data(),
+                                  max_iter, eps_abs, eps_rel, rho0, sigma,
+                                  alpha, zc.data(), yc.data(), &it2, &rp2,
+                                  &rd2);
+      if (st2 == QPREF_CONVERGED ||
+          (st2 == QPREF_MAX_ITER && rp2 <= 1e-6)) {
+        const double obj_c = qp_objective(n, P, q, zc.data());
+        if (!have_incumbent || obj_c < best) {
+          best = obj_c;
+          z_best = zc;
+          y_best = yc;
+          have_incumbent = true;
+        }
+      }
+      continue;
+    }
+
+    // branch: push the far child first so the near one (the branch the
+    // relaxation leans toward) is explored next
+    const double v = zn[bin_cols[branch_i]];
+    std::vector<int8_t> child0 = dom, child1 = dom;
+    child0[branch_i] = 0;
+    child1[branch_i] = 1;
+    if (v >= 0.5) {
+      stack.push_back(child0);
+      stack.push_back(child1);
+    } else {
+      stack.push_back(child1);
+      stack.push_back(child0);
+    }
+  }
+
+  *nodes_out = nodes;
+  if (!have_incumbent) {
+    *obj_out = 1e300;
+    *status_out = MIQP_INFEASIBLE;
+    return MIQP_INFEASIBLE;
+  }
+  std::memcpy(z, z_best.data(), sizeof(double) * n);
+  std::memcpy(y, y_best.data(), sizeof(double) * m);
+  *obj_out = best;
+  *status_out = node_limit ? MIQP_NODE_LIMIT : MIQP_OPTIMAL;
+  return *status_out;
+}
+
+// ---------------------------------------------------------------------------
+// ReLU-disjunction branch-and-bound (the exact-MILP capability, modern
+// formulation): instead of big-M binaries (whose node QPs are degenerate
+// for ADMM), branch directly on each unstable neuron's phase
+//   off: r = 0, a <= 0        on: r = a, a >= 0
+// with the triangle relaxation at free nodes (the tightest convex hull of
+// the ReLU graph on [lo_a, hi_a]). This is how modern NN-verification
+// solvers branch; the result is the same global optimum the reference
+// obtains from SCIP on its big-M MILP transcription (fnn/...:193-330).
+//
+// Per unstable neuron instance the caller provides three dedicated rows:
+//   row_ge:   r - a        in [0, inf)   (tightened to [0,0] when ON)
+//   row_a:    a            in [lo, hi]   (upper->0 when OFF, lower->0 ON)
+//   row_rbox: r            in [0, hi+]   (tightened to [0,0] when OFF)
+// plus the r column index. The triangle upper row is static.
+// ---------------------------------------------------------------------------
+int qpref_solve_relu_bb(int n, int m, const double* P, const double* q,
+                        const double* A, const double* l_in,
+                        const double* u_in, int nb, const int* row_ge,
+                        const int* row_a, const int* row_rbox,
+                        const int* col_r, const double* lo_a,
+                        const double* hi_a, const double* a_bias,
+                        int max_iter, double eps_abs,
+                        double eps_rel, double rho0, double sigma,
+                        double alpha, int max_nodes, double phase_tol,
+                        double* z, double* y, double* obj_out, int* nodes_out,
+                        int* status_out) {
+  std::vector<std::vector<int8_t>> stack;  // -1 free, 0 off, 1 on
+  stack.push_back(std::vector<int8_t>(nb, -1));
+
+  std::vector<double> l(l_in, l_in + m), u(u_in, u_in + m);
+  std::vector<double> zn(n, 0.0), yn(m, 0.0);
+  std::vector<double> z_best, y_best;
+  const double kInf = std::numeric_limits<double>::infinity();
+  double best = 1e300;
+  bool have_incumbent = false;
+  int nodes = 0;
+  bool node_limit = false;
+  const bool debug = std::getenv("QPREF_DEBUG") != nullptr;
+
+  auto apply_dom = [&](const std::vector<int8_t>& dom, std::vector<double>& lv,
+                       std::vector<double>& uv) {
+    for (int i = 0; i < nb; ++i) {
+      const double rhi = std::max(hi_a[i], 0.0);
+      switch (dom[i]) {
+        // the a-row's value is (a - a_bias) and the ge-row's value is
+        // (r - a + a_bias): shift all a-space bounds by the bias
+        case 0:  // off: r = 0, a <= 0
+          lv[row_ge[i]] = a_bias[i];
+          uv[row_ge[i]] = kInf;
+          lv[row_a[i]] = lo_a[i] - a_bias[i];
+          uv[row_a[i]] = std::min(0.0, hi_a[i]) - a_bias[i];
+          lv[row_rbox[i]] = 0.0;
+          uv[row_rbox[i]] = 0.0;
+          break;
+        case 1:  // on: r = a, a >= 0
+          lv[row_ge[i]] = a_bias[i];
+          uv[row_ge[i]] = a_bias[i];
+          lv[row_a[i]] = std::max(0.0, lo_a[i]) - a_bias[i];
+          uv[row_a[i]] = hi_a[i] - a_bias[i];
+          lv[row_rbox[i]] = 0.0;
+          uv[row_rbox[i]] = rhi;
+          break;
+        default:  // free
+          lv[row_ge[i]] = a_bias[i];
+          uv[row_ge[i]] = kInf;
+          lv[row_a[i]] = lo_a[i] - a_bias[i];
+          uv[row_a[i]] = hi_a[i] - a_bias[i];
+          lv[row_rbox[i]] = 0.0;
+          uv[row_rbox[i]] = rhi;
+      }
+    }
+  };
+
+  auto a_value = [&](int i) {
+    const int r = row_a[i];
+    double acc = a_bias[i];
+    for (int j = 0; j < n; ++j) acc += A[static_cast<size_t>(r) * n + j] * zn[j];
+    return acc;
+  };
+
+  while (!stack.empty()) {
+    if (nodes >= max_nodes) {
+      node_limit = true;
+      break;
+    }
+    std::vector<int8_t> dom = stack.back();
+    stack.pop_back();
+    ++nodes;
+    apply_dom(dom, l, u);
+
+    int iters = 0;
+    double rp = 0.0, rd = 0.0;
+    int st = qpref_solve(n, m, P, q, A, l.data(), u.data(), max_iter,
+                         eps_abs, eps_rel, rho0, sigma, alpha, zn.data(),
+                         yn.data(), &iters, &rp, &rd);
+    if (st == QPREF_MAX_ITER && rp > 1e-2) {
+      // suspected stall: retry once, cold-started, with a heavier penalty
+      // and a longer budget before concluding anything
+      zn.assign(n, 0.0);
+      yn.assign(m, 0.0);
+      st = qpref_solve(n, m, P, q, A, l.data(), u.data(), 4 * max_iter,
+                       eps_abs, eps_rel, 10.0 * rho0, sigma, alpha, zn.data(),
+                       yn.data(), &iters, &rp, &rd);
+    }
+    if (debug) {
+      std::fprintf(stderr, "[relu-bb] node %d st %d it %d rp %.2e obj %.6f\n",
+                   nodes, st, iters, rp, qp_objective(n, P, q, zn.data()));
+    }
+    if (st == QPREF_PRIMAL_INFEASIBLE || st == QPREF_DUAL_INFEASIBLE) continue;
+    // an unconverged node with a LARGE primal residual after the retry is
+    // treated as infeasible (ADMM stalls rather than certifies when rows
+    // have one-sided infinite bounds); small residuals mean "still
+    // converging" — branch on the approximate relaxation instead
+    if (st == QPREF_MAX_ITER && rp > 1e-2) {
+      zn.assign(n, 0.0);  // stalled node: don't warm-start siblings from it
+      yn.assign(m, 0.0);
+      continue;
+    }
+
+    const double obj = qp_objective(n, P, q, zn.data());
+    const double slack = 1e-6 * (1.0 + std::fabs(obj)) +
+                         (st == QPREF_MAX_ITER ? 1e-2 * (1.0 + std::fabs(obj)) : 0.0);
+    if (have_incumbent && obj >= best - slack) continue;
+
+    // phase consistency: r == relu(a) per unstable neuron
+    int branch_i = -1;
+    double worst = phase_tol;
+    for (int i = 0; i < nb; ++i) {
+      if (dom[i] != -1) continue;
+      const double a = a_value(i);
+      const double viol = std::fabs(zn[col_r[i]] - std::max(a, 0.0));
+      if (viol > worst) {
+        worst = viol;
+        branch_i = i;
+      }
+    }
+
+    if (branch_i < 0) {
+      // phase-consistent: fix every free neuron to its indicated phase and
+      // re-solve so the incumbent is exact
+      std::vector<int8_t> fixed = dom;
+      for (int i = 0; i < nb; ++i)
+        if (fixed[i] == -1) fixed[i] = a_value(i) >= 0.0 ? 1 : 0;
+      std::vector<double> lf = l, uf = u, zc = zn, yc = yn;
+      apply_dom(fixed, lf, uf);
+      int it2 = 0;
+      double rp2 = 0.0, rd2 = 0.0;
+      const int st2 = qpref_solve(n, m, P, q, A, lf.data(), uf.data(),
+                                  max_iter, eps_abs, eps_rel, rho0, sigma,
+                                  alpha, zc.data(), yc.data(), &it2, &rp2,
+                                  &rd2);
+      if (st2 == QPREF_CONVERGED || (st2 == QPREF_MAX_ITER && rp2 <= 1e-6)) {
+        const double obj_c = qp_objective(n, P, q, zc.data());
+        if (!have_incumbent || obj_c < best) {
+          best = obj_c;
+          z_best = zc;
+          y_best = yc;
+          have_incumbent = true;
+        }
+      }
+      continue;
+    }
+
+    // branch: explore the phase the relaxation leans toward first
+    const double a = a_value(branch_i);
+    std::vector<int8_t> child_off = dom, child_on = dom;
+    child_off[branch_i] = 0;
+    child_on[branch_i] = 1;
+    if (a >= 0.0) {
+      stack.push_back(child_off);
+      stack.push_back(child_on);
+    } else {
+      stack.push_back(child_on);
+      stack.push_back(child_off);
+    }
+  }
+
+  *nodes_out = nodes;
+  if (!have_incumbent) {
+    *obj_out = 1e300;
+    *status_out = MIQP_INFEASIBLE;
+    return MIQP_INFEASIBLE;
+  }
+  std::memcpy(z, z_best.data(), sizeof(double) * n);
+  std::memcpy(y, y_best.data(), sizeof(double) * m);
+  *obj_out = best;
+  *status_out = node_limit ? MIQP_NODE_LIMIT : MIQP_OPTIMAL;
+  return *status_out;
 }
 
 // Batch front-end: solves B independent QPs sharing (P, A) structure with

@@ -28,13 +28,32 @@ def test_apply_contract(family):
 
 @pytest.mark.parametrize("family", LEARNED)
 def test_jacfwd_linearization_finite(family):
-    apply_fn, params = init_model(family, jax.random.PRNGKey(1), 3, 2, hidden=8,
+    nx = 4 if family == "lstm" else 3  # lstm state stacks [h; c]: even dim
+    apply_fn, params = init_model(family, jax.random.PRNGKey(1), nx, 2, hidden=8,
                                   depth=1, sample_time=0.1)
     f = lambda x, u: apply_fn(params, x, u)
-    A = jax.jacfwd(f, argnums=0)(jnp.zeros(3), jnp.zeros(2))
-    B = jax.jacfwd(f, argnums=1)(jnp.zeros(3), jnp.zeros(2))
-    assert A.shape == (3, 3) and B.shape == (3, 2)
+    A = jax.jacfwd(f, argnums=0)(jnp.zeros(nx), jnp.zeros(2))
+    B = jax.jacfwd(f, argnums=1)(jnp.zeros(nx), jnp.zeros(2))
+    assert A.shape == (nx, nx) and B.shape == (nx, 2)
     assert bool(jnp.all(jnp.isfinite(A))) and bool(jnp.all(jnp.isfinite(B)))
+
+
+def test_lstm_needs_even_state():
+    with pytest.raises(ValueError):
+        init_model("lstm", jax.random.PRNGKey(0), 3, 2)
+
+
+def test_recurrent_families_are_markov_in_state():
+    """rnn/gru/lstm: the recurrent state is the plant state, so two rollouts
+    from the same (x, u) agree — no hidden side-state."""
+    for family in ("rnn", "gru", "lstm"):
+        apply_fn, params = init_model(family, jax.random.PRNGKey(5), 4, 2)
+        x = jnp.asarray([0.1, -0.2, 0.3, 0.05])
+        u = jnp.asarray([0.5, -0.1])
+        a = apply_fn(params, x, u)
+        b = apply_fn(params, x, u)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert a.shape == (4,)
 
 
 def test_rollout_shapes():
