@@ -56,6 +56,7 @@ from .runtime import (
 from .main import proceed_controller, DEFAULT_PARAMETERS
 from .io import load_controller, save_controller
 from .ops.admm import AdmmConfig
+from .solvers.empc import EmpcConfig, EmpcEngine
 from .solvers.sqp import SqpConfig, SqpEngine
 from .terminal import create_terminal_ingredient, invariant_terminal_set
 from .models.zoo import MODEL_FAMILIES, init_model, rollout
@@ -66,6 +67,8 @@ __all__ = [
     "AdmmConfig",
     "Box",
     "DEFAULT_PARAMETERS",
+    "EmpcConfig",
+    "EmpcEngine",
     "LinearContinuousSystem",
     "LinearDiscreteSystem",
     "LinearEngine",

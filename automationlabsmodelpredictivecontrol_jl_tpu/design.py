@@ -151,11 +151,18 @@ def design_controller(
     admm_config: Optional[admm_ops.AdmmConfig] = None,
     sqp_config: Optional[Any] = None,
     terminal_set_depth: int = 30,
+    economic_cost: Optional[Any] = None,
+    economic_terminal_cost: Optional[Any] = None,
+    empc_config: Optional[Any] = None,
 ) -> MpcController:
     """Design an MPC controller (defaults mirror
     _DEFAULT_PARAMETERS_MODEL_PREDICTIVE_CONTROL, main_mpc.jl:87-94;
     default programming type is "linear" for linear systems
     (design_mpc.jl:67) and "non_linear" for learned ones (:159)).
+
+    ``economic_cost`` (a JAX-traceable ``l(x, u) -> scalar``) switches the
+    controller to the economic-MPC engine (the branch the reference
+    reserved at main_mpc.jl:54-83 but never shipped); see solvers/empc.py.
 
     Runs pinned to the host CPU backend (design is a once-per-controller
     eager phase; see utils/devices.py) — the operator pytree moves to the
@@ -173,6 +180,9 @@ def design_controller(
             soft_state_penalty=soft_state_penalty,
             admm_config=admm_config, sqp_config=sqp_config,
             terminal_set_depth=terminal_set_depth, sqp_mod=sqp_mod,
+            economic_cost=economic_cost,
+            economic_terminal_cost=economic_terminal_cost,
+            empc_config=empc_config,
         )
 
 
@@ -196,18 +206,29 @@ def _design_controller_impl(
     sqp_config: Optional[Any],
     terminal_set_depth: int,
     sqp_mod,
+    economic_cost: Optional[Any] = None,
+    economic_terminal_cost: Optional[Any] = None,
+    empc_config: Optional[Any] = None,
 ) -> MpcController:
 
     sys_d = as_discrete(system, sample_time)
     is_neural = isinstance(sys_d, NeuralDiscreteSystem)
-    if programming_type is None:
-        programming_type = "non_linear" if is_neural else "linear"
-    solver_name = resolve_solver(programming_type, solver)
-    engine_kind = engine_for(programming_type)
-    if not is_neural and engine_kind == "sqp":
-        # nonlinear programming over a linear model degenerates to the QP
-        engine_kind = "admm"
-        programming_type = "linear"
+    if economic_cost is not None:
+        # economic objectives are generically non-quadratic: always the
+        # NLP route, even over a linear plant
+        if programming_type is None:
+            programming_type = "non_linear"
+        solver_name = resolve_solver(programming_type, solver)
+        engine_kind = "empc"
+    else:
+        if programming_type is None:
+            programming_type = "non_linear" if is_neural else "linear"
+        solver_name = resolve_solver(programming_type, solver)
+        engine_kind = engine_for(programming_type)
+        if not is_neural and engine_kind == "sqp":
+            # nonlinear programming over a linear model degenerates to the QP
+            engine_kind = "admm"
+            programming_type = "linear"
 
     nx, nu = sys_d.nx, sys_d.nu
     references = design_references(x_ref, u_ref, horizon)
@@ -227,6 +248,23 @@ def _design_controller_impl(
         solver_name=solver_name,
         state_constraint=bool(state_constraint),
     )
+
+    if engine_kind == "empc":
+        from .solvers import empc as empc_mod
+
+        engine = empc_mod.build_engine(
+            sys_d, tuning, economic_cost, economic_terminal_cost, empc_config
+        )
+        warm_z, warm_y = empc_mod.initial_warm_state(engine, tuning)
+        return MpcController(
+            system=sys_d,
+            tuning=tuning,
+            engine=engine,
+            initialization=jnp.zeros((nx,), jnp.float32),
+            warm_z=warm_z,
+            warm_y=warm_y,
+            results=None,
+        )
 
     if engine_kind == "milp":
         from .solvers import milp as milp_mod

@@ -26,7 +26,10 @@ DEFAULT_PARAMETERS = {
     "mpc_max_time": 30.0,
 }
 
-IMPLEMENTATION_CONTROLLER_LIST = ("model_predictive_control",)
+IMPLEMENTATION_CONTROLLER_LIST = (
+    "model_predictive_control",
+    "economic_model_predictive_control",
+)
 
 
 def proceed_controller(
@@ -40,14 +43,31 @@ def proceed_controller(
 ) -> MpcController:
     """Design a controller (reference proceed_controller, main_mpc.jl:22-84).
 
-    Only ``mpc_controller_type == "model_predictive_control"`` is live —
-    same as the reference (main_mpc.jl:37; economic MPC was removed in
-    v0.1.4 per its CHANGELOG).
+    ``"model_predictive_control"`` — quadratic tracking MPC (the
+    reference's only live branch, main_mpc.jl:37).
+
+    ``"economic_model_predictive_control"`` — economic MPC over a generic
+    stage cost (the branch the reference reserved at main_mpc.jl:54-83 but
+    shipped dead; removed in its v0.1.4). Requires
+    ``mpc_cost_function``: a JAX-traceable ``l(x, u) -> scalar``; optional
+    ``mpc_terminal_cost_function``: ``Vf(x) -> scalar`` (default: the
+    quasi-infinite-horizon quadratic ``e_N' P e_N``, P from the DARE).
     """
-    if mpc_controller_type != "model_predictive_control":
+    if mpc_controller_type not in IMPLEMENTATION_CONTROLLER_LIST:
         raise ValueError(
             f"unsupported controller type {mpc_controller_type!r}; "
             f"available: {IMPLEMENTATION_CONTROLLER_LIST}"
+        )
+    economic = mpc_controller_type == "economic_model_predictive_control"
+    if economic and "mpc_cost_function" not in kws:
+        raise ValueError(
+            "economic_model_predictive_control requires mpc_cost_function "
+            "(a JAX-traceable stage cost l(x, u) -> scalar)"
+        )
+    if not economic and "mpc_cost_function" in kws:
+        raise ValueError(
+            "mpc_cost_function is only accepted with "
+            "mpc_controller_type='economic_model_predictive_control'"
         )
     p = dict(DEFAULT_PARAMETERS)
     return design_controller(
@@ -79,4 +99,7 @@ def proceed_controller(
         ),
         admm_config=kws.get("admm_config"),
         sqp_config=kws.get("sqp_config"),
+        economic_cost=kws.get("mpc_cost_function"),
+        economic_terminal_cost=kws.get("mpc_terminal_cost_function"),
+        empc_config=kws.get("empc_config"),
     )

@@ -56,6 +56,7 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int, ip, ip,
         ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_double, ctypes.c_int, ctypes.c_double,
+        ctypes.c_double,
         dp, dp, dp, ip, ip,
     ]
     lib.qpref_solve_relu_bb.restype = ctypes.c_int
@@ -64,6 +65,7 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int, ip, ip, ip, ip, dp, dp, dp,
         ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_double, ctypes.c_int, ctypes.c_double,
+        ctypes.c_double,
         dp, dp, dp, ip, ip,
     ]
     _lib = lib
@@ -136,10 +138,13 @@ def solve_miqp(
     alpha: float = 1.6,
     max_nodes: int = 100000,
     int_tol: float = 1e-5,
+    time_limit: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, int, int, float]:
     """Branch-and-bound MIQP: z[bin_cols] binary, [0,1] boxes at A rows
     ``bin_rows``. The in-house stand-in for the reference's SCIP MILP
-    back-end (solver_selection.jl:108-114).
+    back-end (solver_selection.jl:108-114). ``time_limit`` (seconds, <=0 =
+    unlimited) bounds the B&B wall clock — the ``mpc_max_time`` budget the
+    reference stored but never forwarded (solver_selection.jl:95).
 
     Returns (z, y, status in {MIQP_*}, nodes, objective)."""
     lib = _load()
@@ -162,7 +167,8 @@ def solve_miqp(
     lib.qpref_solve_miqp(
         n, m, _dp(P), _dp(q), _dp(A), _dp(l), _dp(u),
         nb, bin_rows.ctypes.data_as(ip), bin_cols.ctypes.data_as(ip),
-        max_iter, eps_abs, eps_rel, rho, sigma, alpha, max_nodes, int_tol,
+        max_iter, eps_abs, eps_rel, rho, sigma, alpha, max_nodes,
+        float(time_limit), int_tol,
         _dp(z), _dp(y), ctypes.byref(obj), ctypes.byref(nodes),
         ctypes.byref(status),
     )
@@ -190,6 +196,7 @@ def solve_relu_bb(
     alpha: float = 1.6,
     max_nodes: int = 100000,
     phase_tol: float = 1e-6,
+    time_limit: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, int, int, float]:
     """Exact-ReLU branch-and-bound (phase branching + triangle relaxation):
     the in-house stand-in for the reference's SCIP big-M MILP back-end
@@ -227,7 +234,8 @@ def solve_relu_bb(
         nb, row_ge.ctypes.data_as(ip), row_a.ctypes.data_as(ip),
         row_rbox.ctypes.data_as(ip), col_r.ctypes.data_as(ip),
         _dp(lo_a), _dp(hi_a), _dp(a_bias),
-        max_iter, eps_abs, eps_rel, rho, sigma, alpha, max_nodes, phase_tol,
+        max_iter, eps_abs, eps_rel, rho, sigma, alpha, max_nodes,
+        float(time_limit), phase_tol,
         _dp(z), _dp(y), ctypes.byref(obj), ctypes.byref(nodes),
         ctypes.byref(status),
     )

@@ -100,6 +100,7 @@ def solve_once(
 ) -> Tuple[MpcSolution, Array, Array]:
     """Pure solve at state x0 with explicit warm state (vmap-friendly:
     map over (x0, warm_z, warm_y) for batched scenario solves)."""
+    from .solvers.empc import EmpcEngine, solve_economic
     from .solvers.milp import MilpEngine, solve_milp
 
     if isinstance(controller.engine, LinearEngine):
@@ -111,6 +112,12 @@ def solve_once(
         # boundary, SURVEY.md §3.2): not jit/vmap-able by design
         sol = solve_milp(controller.engine, controller.tuning, x0)
         return sol, warm_z, warm_y
+    if isinstance(controller.engine, EmpcEngine):
+        sol, u_f, y_f = solve_economic(
+            controller.system, controller.tuning, controller.engine, x0, warm_z, warm_y
+        )
+        u_next = sqp_mod.shift_warm(u_f, controller.tuning.horizon, controller.system.nu)
+        return sol, u_next, y_f
     return _solve_sqp(
         controller.engine, controller.tuning, controller.system, x0, warm_z, warm_y
     )

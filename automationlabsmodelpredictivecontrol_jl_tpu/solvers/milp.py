@@ -643,6 +643,10 @@ def solve_milp(engine: MilpEngine, tuning, x0: np.ndarray):
         lo_a[idx], hi_a[idx], bias[idx],
         max_iter=e.max_iter, eps_abs=e.eps, eps_rel=e.eps,
         max_nodes=e.max_nodes, phase_tol=e.phase_tol,
+        # the reference stores mpc_max_time but never forwards it
+        # (solver_selection.jl:95 "to do the right options"); here the B&B
+        # honors it as a wall-clock budget, like SCIP's limits/time
+        time_limit=float(tuning.max_time),
     )
     xs = (e.Xz @ z + e.Xx0 @ x0 + e.Xc).reshape(N + 1, nx).T
     us = z[: N * nu].reshape(N, nu).T

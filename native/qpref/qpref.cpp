@@ -13,6 +13,7 @@
 // C ABI only — consumed via ctypes (no pybind11 in the image).
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -438,7 +439,8 @@ int qpref_solve_miqp(int n, int m, const double* P, const double* q,
                      const double* A, const double* l_in, const double* u_in,
                      int nb, const int* bin_rows, const int* bin_cols,
                      int max_iter, double eps_abs, double eps_rel, double rho0,
-                     double sigma, double alpha, int max_nodes, double int_tol,
+                     double sigma, double alpha, int max_nodes,
+                     double time_limit, double int_tol,
                      double* z, double* y, double* obj_out, int* nodes_out,
                      int* status_out) {
   // node = per-binary domain: -1 free in [0,1], 0 fixed 0, 1 fixed 1
@@ -452,9 +454,15 @@ int qpref_solve_miqp(int n, int m, const double* P, const double* q,
   bool have_incumbent = false;
   int nodes = 0;
   bool node_limit = false;
+  const auto t_start = std::chrono::steady_clock::now();
+  auto out_of_time = [&] {
+    if (time_limit <= 0.0) return false;
+    return std::chrono::duration<double>(std::chrono::steady_clock::now() -
+                                         t_start).count() > time_limit;
+  };
 
   while (!stack.empty()) {
-    if (nodes >= max_nodes) {
+    if (nodes >= max_nodes || out_of_time()) {
       node_limit = true;
       break;
     }
@@ -552,9 +560,11 @@ int qpref_solve_miqp(int n, int m, const double* P, const double* q,
 
   *nodes_out = nodes;
   if (!have_incumbent) {
+    // a node/time-limit exit without an incumbent proves nothing;
+    // infeasibility is only declared from a fully explored tree
     *obj_out = 1e300;
-    *status_out = MIQP_INFEASIBLE;
-    return MIQP_INFEASIBLE;
+    *status_out = node_limit ? MIQP_NODE_LIMIT : MIQP_INFEASIBLE;
+    return *status_out;
   }
   std::memcpy(z, z_best.data(), sizeof(double) * n);
   std::memcpy(y, y_best.data(), sizeof(double) * m);
@@ -587,7 +597,8 @@ int qpref_solve_relu_bb(int n, int m, const double* P, const double* q,
                         const double* hi_a, const double* a_bias,
                         int max_iter, double eps_abs,
                         double eps_rel, double rho0, double sigma,
-                        double alpha, int max_nodes, double phase_tol,
+                        double alpha, int max_nodes, double time_limit,
+                        double phase_tol,
                         double* z, double* y, double* obj_out, int* nodes_out,
                         int* status_out) {
   std::vector<std::vector<int8_t>> stack;  // -1 free, 0 off, 1 on
@@ -602,6 +613,12 @@ int qpref_solve_relu_bb(int n, int m, const double* P, const double* q,
   int nodes = 0;
   bool node_limit = false;
   const bool debug = std::getenv("QPREF_DEBUG") != nullptr;
+  const auto t_start = std::chrono::steady_clock::now();
+  auto out_of_time = [&] {
+    if (time_limit <= 0.0) return false;
+    return std::chrono::duration<double>(std::chrono::steady_clock::now() -
+                                         t_start).count() > time_limit;
+  };
 
   auto apply_dom = [&](const std::vector<int8_t>& dom, std::vector<double>& lv,
                        std::vector<double>& uv) {
@@ -645,7 +662,7 @@ int qpref_solve_relu_bb(int n, int m, const double* P, const double* q,
   };
 
   while (!stack.empty()) {
-    if (nodes >= max_nodes) {
+    if (nodes >= max_nodes || out_of_time()) {
       node_limit = true;
       break;
     }
@@ -743,9 +760,11 @@ int qpref_solve_relu_bb(int n, int m, const double* P, const double* q,
 
   *nodes_out = nodes;
   if (!have_incumbent) {
+    // a node/time-limit exit without an incumbent proves nothing;
+    // infeasibility is only declared from a fully explored tree
     *obj_out = 1e300;
-    *status_out = MIQP_INFEASIBLE;
-    return MIQP_INFEASIBLE;
+    *status_out = node_limit ? MIQP_NODE_LIMIT : MIQP_INFEASIBLE;
+    return *status_out;
   }
   std::memcpy(z, z_best.data(), sizeof(double) * n);
   std::memcpy(y, y_best.data(), sizeof(double) * m);

@@ -157,3 +157,25 @@ def test_relu_bb_s_weight_and_terminal_equality():
     )
     _, sol = mpc.step(c, np.full(4, 0.6, np.float32))
     assert int(sol.status) in (0, 1, 2)  # well-formed statuses only
+
+
+def test_time_limit_budget_returns_incumbent():
+    """mpc_max_time is a real wall-clock budget for the B&B (the reference
+    stored it but never forwarded it, solver_selection.jl:95): with a tiny
+    budget the solve must return promptly with a max-iter-style status, not
+    hang or throw."""
+    import time
+
+    sys = _neural_system("densenet", hidden=6, depth=2, seed=7)
+    c = mpc.proceed_controller(
+        sys, "model_predictive_control", 4, 5.0, X_REF, U_REF,
+        mpc_programming_type="mixed_linear",
+        mpc_max_time=1e-9,
+    )
+    t0 = time.monotonic()
+    c, sol = mpc.step(c, np.full(4, 0.6, np.float32))
+    elapsed = time.monotonic() - t0
+    assert elapsed < 20.0
+    # budget exhausted after the root node: either it still proved
+    # optimality instantly (0) or it reports the node/time-limit status (1)
+    assert int(sol.status) in (0, 1)
