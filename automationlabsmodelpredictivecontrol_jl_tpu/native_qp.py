@@ -65,7 +65,7 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int, ip, ip, ip, ip, dp, dp, dp,
         ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_double, ctypes.c_int, ctypes.c_double,
-        ctypes.c_double,
+        ctypes.c_double, dp,
         dp, dp, dp, ip, ip,
     ]
     _lib = lib
@@ -197,12 +197,18 @@ def solve_relu_bb(
     max_nodes: int = 100000,
     phase_tol: float = 1e-6,
     time_limit: float = 0.0,
+    z_init: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, int, int, float]:
     """Exact-ReLU branch-and-bound (phase branching + triangle relaxation):
     the in-house stand-in for the reference's SCIP big-M MILP back-end
     (solver_selection.jl:108-114). Per unstable neuron: its r>=a row, its
     a-range row, its r box row, the r column, and [lo_a, hi_a] (a-space;
     ``a_bias`` is the affine constant c with row value = a - c).
+
+    ``z_init`` (optional): a FEASIBLE phase-consistent point (e.g. a true
+    rollout of the network under a warm input trajectory) that seeds the
+    incumbent, so pruning bites from node 1 and limit exits return a
+    feasible exact solution.
 
     Returns (z, y, status in {MIQP_*}, nodes, objective)."""
     lib = _load()
@@ -229,6 +235,8 @@ def solve_relu_bb(
     nodes = ctypes.c_int(0)
     status = ctypes.c_int(0)
     ip = ctypes.POINTER(ctypes.c_int)
+    if z_init is not None:
+        z_init = np.ascontiguousarray(z_init, np.float64)
     lib.qpref_solve_relu_bb(
         n, m, _dp(P), _dp(q), _dp(A), _dp(l), _dp(u),
         nb, row_ge.ctypes.data_as(ip), row_a.ctypes.data_as(ip),
@@ -236,6 +244,7 @@ def solve_relu_bb(
         _dp(lo_a), _dp(hi_a), _dp(a_bias),
         max_iter, eps_abs, eps_rel, rho, sigma, alpha, max_nodes,
         float(time_limit), phase_tol,
+        _dp(z_init) if z_init is not None else None,
         _dp(z), _dp(y), ctypes.byref(obj), ctypes.byref(nodes),
         ctypes.byref(status),
     )

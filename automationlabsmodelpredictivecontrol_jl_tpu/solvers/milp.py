@@ -262,7 +262,10 @@ class MilpEngine:
     big_m: float
     max_nodes: int = 100000
     max_iter: int = 6000
-    eps: float = 1e-8
+    # node-relaxation tolerance: 1e-6 keeps per-node ADMM cheap; the
+    # incumbent is always re-solved phase-pinned, so exactness of the
+    # returned trajectory doesn't hinge on node accuracy
+    eps: float = 1e-6
     phase_tol: float = 1e-6
 
     @property
@@ -566,6 +569,36 @@ def build_engine(system, tuning, max_nodes: int = 100000, big_m: float = BIG_M) 
     )
 
 
+def _rollout_incumbent(
+    e: "MilpEngine", x0: np.ndarray, us: np.ndarray, l: np.ndarray,
+    u: np.ndarray,
+) -> Optional[np.ndarray]:
+    """Dive heuristic: roll the TRUE network from x0 under the warm input
+    trajectory ``us`` (N, nu), capturing every relu output. The resulting
+    z = [u; r] is phase-consistent by construction, so it is feasible for
+    the exact-ReLU program whenever it satisfies the plain rows (boxes /
+    terminal). Passed to the B&B as the initial incumbent: pruning starts
+    at node 1 and any node/time-limit exit still returns an exact,
+    dynamics-consistent control sequence (SCIP gets the same effect from
+    its own diving heuristics)."""
+    N, nx, nu, n_r = e.N, e.nx, e.nu, e.n_r
+    z = np.zeros(e.n)
+    z[: N * nu] = np.asarray(us, np.float64).reshape(-1)
+    xk = np.asarray(x0, np.float64)
+    for k in range(N):
+        v = np.concatenate([xk, us[k]])
+        for unit in e.tr.units:
+            a = unit.M @ v[: unit.M.shape[1]] + unit.c
+            v = np.concatenate([v, np.maximum(a, 0.0)])
+        z[N * nu + k * n_r : N * nu + (k + 1) * n_r] = v[nx + nu :]
+        xk = e.out.M @ v[: e.out.M.shape[1]] + e.out.c
+    rows = e.A @ z
+    tol = 1e-9 * (1.0 + np.abs(rows))
+    lo_ok = ~np.isfinite(l) | (rows >= l - tol)
+    hi_ok = ~np.isfinite(u) | (rows <= u + tol)
+    return z if bool(np.all(lo_ok & hi_ok)) else None
+
+
 def solve_milp(engine: MilpEngine, tuning, x0: np.ndarray):
     """One receding-horizon exact-ReLU solve (host). Returns an MpcSolution.
 
@@ -637,6 +670,7 @@ def solve_milp(engine: MilpEngine, tuning, x0: np.ndarray):
         )
 
     idx = np.nonzero(free)[0].astype(np.int32)
+    z_init = _rollout_incumbent(e, x0, np.clip(uref.T, e.U_lo, e.U_hi), l, u)
     z, y, st, nodes, obj = native_qp.solve_relu_bb(
         e.P, q, e.A, l, u,
         ge[idx], ar[idx], rb[idx], e.col_r[idx],
@@ -647,7 +681,22 @@ def solve_milp(engine: MilpEngine, tuning, x0: np.ndarray):
         # (solver_selection.jl:95 "to do the right options"); here the B&B
         # honors it as a wall-clock budget, like SCIP's limits/time
         time_limit=float(tuning.max_time),
+        z_init=z_init,
     )
+    if st == native_qp.MIQP_NODE_LIMIT and obj >= 1e299:
+        # limit hit before the dive heuristic produced any incumbent:
+        # z is meaningless — surface it as max-iter with no trajectory
+        # (never garbage values; contrast computation_mpc.jl:38-55)
+        zero_x = np.zeros((nx, N + 1))
+        zero_u = np.zeros((nu, N))
+        return MpcSolution(
+            x=f32(zero_x), e_x=f32(zero_x - xref), u=f32(zero_u),
+            e_u=f32(zero_u - uref),
+            status=jnp.asarray(STATUS_MAX_ITER, jnp.int32),
+            iterations=jnp.asarray(0, jnp.int32),
+            primal_residual=f32(3.4e38), dual_residual=f32(0.0),
+            objective=f32(3.4e38),
+        )
     xs = (e.Xz @ z + e.Xx0 @ x0 + e.Xc).reshape(N + 1, nx).T
     us = z[: N * nu].reshape(N, nu).T
     status = {

@@ -598,7 +598,7 @@ int qpref_solve_relu_bb(int n, int m, const double* P, const double* q,
                         int max_iter, double eps_abs,
                         double eps_rel, double rho0, double sigma,
                         double alpha, int max_nodes, double time_limit,
-                        double phase_tol,
+                        double phase_tol, const double* z_init,
                         double* z, double* y, double* obj_out, int* nodes_out,
                         int* status_out) {
   std::vector<std::vector<int8_t>> stack;  // -1 free, 0 off, 1 on
@@ -610,6 +610,17 @@ int qpref_solve_relu_bb(int n, int m, const double* P, const double* q,
   const double kInf = std::numeric_limits<double>::infinity();
   double best = 1e300;
   bool have_incumbent = false;
+  // caller-provided feasible starting point (e.g. a rollout of the true
+  // network under a warm input trajectory — always phase-consistent):
+  // seeds the incumbent so (a) pruning bites from node 1 and (b) a
+  // node/time-limit exit still returns an exact-ReLU feasible solution
+  if (z_init != nullptr) {
+    z_best.assign(z_init, z_init + n);
+    y_best.assign(m, 0.0);
+    best = qp_objective(n, P, q, z_init);
+    have_incumbent = true;
+    zn.assign(z_init, z_init + n);
+  }
   int nodes = 0;
   bool node_limit = false;
   const bool debug = std::getenv("QPREF_DEBUG") != nullptr;
@@ -659,6 +670,38 @@ int qpref_solve_relu_bb(int n, int m, const double* P, const double* q,
     double acc = a_bias[i];
     for (int j = 0; j < n; ++j) acc += A[static_cast<size_t>(r) * n + j] * zn[j];
     return acc;
+  };
+
+  // dive heuristic / incumbent attempt: pin every free neuron to the phase
+  // the relaxation point zn leans toward, re-solve the (continuous,
+  // disjunction-free) QP, and accept if it lands feasible. Guarantees a
+  // feasible exact-ReLU incumbent long before the tree is explored, so a
+  // node/time-limit exit still returns a usable (suboptimal) controller
+  // move instead of the raw relaxation point.
+  auto try_incumbent = [&](const std::vector<int8_t>& dom) {
+    std::vector<int8_t> fixed = dom;
+    for (int i = 0; i < nb; ++i)
+      if (fixed[i] == -1) fixed[i] = a_value(i) >= 0.0 ? 1 : 0;
+    std::vector<double> lf(l_in, l_in + m), uf(u_in, u_in + m);
+    apply_dom(fixed, lf, uf);
+    std::vector<double> zc = zn, yc = yn;
+    int it2 = 0;
+    double rp2 = 0.0, rd2 = 0.0;
+    const int st2 = qpref_solve(n, m, P, q, A, lf.data(), uf.data(),
+                                max_iter, eps_abs, eps_rel, rho0, sigma,
+                                alpha, zc.data(), yc.data(), &it2, &rp2,
+                                &rd2);
+    if (st2 == QPREF_CONVERGED || (st2 == QPREF_MAX_ITER && rp2 <= 1e-6)) {
+      const double obj_c = qp_objective(n, P, q, zc.data());
+      if (!have_incumbent || obj_c < best) {
+        best = obj_c;
+        z_best = std::move(zc);
+        y_best = std::move(yc);
+        have_incumbent = true;
+      }
+      return true;
+    }
+    return false;
   };
 
   while (!stack.empty()) {
@@ -721,28 +764,14 @@ int qpref_solve_relu_bb(int n, int m, const double* P, const double* q,
     if (branch_i < 0) {
       // phase-consistent: fix every free neuron to its indicated phase and
       // re-solve so the incumbent is exact
-      std::vector<int8_t> fixed = dom;
-      for (int i = 0; i < nb; ++i)
-        if (fixed[i] == -1) fixed[i] = a_value(i) >= 0.0 ? 1 : 0;
-      std::vector<double> lf = l, uf = u, zc = zn, yc = yn;
-      apply_dom(fixed, lf, uf);
-      int it2 = 0;
-      double rp2 = 0.0, rd2 = 0.0;
-      const int st2 = qpref_solve(n, m, P, q, A, lf.data(), uf.data(),
-                                  max_iter, eps_abs, eps_rel, rho0, sigma,
-                                  alpha, zc.data(), yc.data(), &it2, &rp2,
-                                  &rd2);
-      if (st2 == QPREF_CONVERGED || (st2 == QPREF_MAX_ITER && rp2 <= 1e-6)) {
-        const double obj_c = qp_objective(n, P, q, zc.data());
-        if (!have_incumbent || obj_c < best) {
-          best = obj_c;
-          z_best = zc;
-          y_best = yc;
-          have_incumbent = true;
-        }
-      }
+      try_incumbent(dom);
       continue;
     }
+
+    // primal dive heuristic: until an incumbent exists (and periodically
+    // after), try the phase-rounding of this node's relaxation so limit
+    // exits always carry a feasible exact-ReLU solution
+    if (!have_incumbent || (nodes & 15) == 0) try_incumbent(dom);
 
     // branch: explore the phase the relaxation leans toward first
     const double a = a_value(branch_i);
