@@ -24,6 +24,7 @@ from .types import (
     STATUS_MAX_ITER,
     STATUS_PRIMAL_INFEASIBLE,
     STATUS_DUAL_INFEASIBLE,
+    STATUS_NUMERIC_ERROR,
     STATUS_NAMES,
 )
 from .systems import (
@@ -59,7 +60,7 @@ from .ops.admm import AdmmConfig
 from .solvers.empc import EmpcConfig, EmpcEngine
 from .solvers.sqp import SqpConfig, SqpEngine
 from .terminal import create_terminal_ingredient, invariant_terminal_set
-from .models.zoo import MODEL_FAMILIES, init_model, rollout
+from .models.zoo import MODEL_FAMILIES, init_model, make_system, rollout
 
 __version__ = "0.1.0"
 
@@ -85,6 +86,7 @@ __all__ = [
     "STATUS_DUAL_INFEASIBLE",
     "STATUS_MAX_ITER",
     "STATUS_NAMES",
+    "STATUS_NUMERIC_ERROR",
     "STATUS_PRIMAL_INFEASIBLE",
     "TerminalIngredient",
     "Weights",
@@ -96,6 +98,7 @@ __all__ = [
     "design_references",
     "discretize",
     "init_model",
+    "make_system",
     "invariant_terminal_set",
     "linearize",
     "linearize_to_system",

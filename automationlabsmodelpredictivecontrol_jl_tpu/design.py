@@ -91,15 +91,18 @@ class MpcController:
 
 
 def create_weights(
-    nx: int, nu: int, q: float, r: float, s: float
+    nx: int, nu: int, q: Any, r: Any, s: Any
 ) -> Weights:
-    """Q = q·I(nx), R = r·I(nu), S = s·I(nu)
-    (reference _create_weights_coefficients design_mpc.jl:235-283)."""
-    return Weights(
-        Q=q * jnp.eye(nx, dtype=jnp.float32),
-        R=r * jnp.eye(nu, dtype=jnp.float32),
-        S=s * jnp.eye(nu, dtype=jnp.float32),
-    )
+    """Q = q·I(nx), R = r·I(nu), S = s·I(nu) for scalar q/r/s
+    (reference _create_weights_coefficients design_mpc.jl:235-283); full
+    matrices pass through unchanged (update_references re-tunes with the
+    controller's existing — possibly non-scalar — weight matrices)."""
+
+    def mat(v, n):
+        v = jnp.asarray(v, jnp.float32)
+        return v if v.ndim == 2 else v * jnp.eye(n, dtype=jnp.float32)
+
+    return Weights(Q=mat(q, nx), R=mat(r, nu), S=mat(s, nu))
 
 
 def _linear_engine(

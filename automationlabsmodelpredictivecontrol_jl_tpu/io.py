@@ -8,23 +8,32 @@ initialization) go into one .npz; loading re-runs the deterministic design
 pipeline and restores the runtime state, so a receding-horizon loop resumes
 exactly where it stopped.
 
+What round-trips bit-exactly: system (linear matrices, or zoo-family params
++ the *recorded* activation), full weight matrices Q/R/S, engine configs
+(AdmmConfig / SqpConfig incl. the nested ADMM sub-config), soft state
+penalties, terminal kind, warm state. Economic controllers carry arbitrary
+Python cost callables and are refused loudly (save the spec yourself and
+rebuild with the cost function in hand).
+
 Neural systems are reconstructed by model-family name from the zoo registry
 (callables themselves are not serialized).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
-from .design import MpcController, design_controller
+from .design import LinearEngine, MpcController, design_controller
 from .models import zoo
+from .ops.admm import AdmmConfig
 from .systems import LinearDiscreteSystem, NeuralDiscreteSystem
 from .types import Box
 
-_FMT_VERSION = 1
+_FMT_VERSION = 2
 
 
 def _flatten(prefix: str, tree: Any, out: Dict[str, np.ndarray]) -> Any:
@@ -48,6 +57,77 @@ def _unflatten(skel: Any, data) -> Any:
     raise ValueError(f"bad skeleton node {skel!r}")
 
 
+def _config_to_json(cfg: Any) -> Any:
+    """Frozen config dataclass → JSON-able dict (tuples become lists;
+    nested configs recurse)."""
+    if cfg is None:
+        return None
+    out: Dict[str, Any] = {"__class__": type(cfg).__name__}
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        if dataclasses.is_dataclass(v):
+            out[f.name] = _config_to_json(v)
+        elif isinstance(v, tuple):
+            out[f.name] = {"__tuple__": list(v)}
+        else:
+            out[f.name] = v
+    return out
+
+
+def _config_from_json(d: Any) -> Any:
+    if d is None:
+        return None
+    name = d.pop("__class__")
+    if name == "AdmmConfig":
+        cls = AdmmConfig
+    elif name == "SqpConfig":
+        from .solvers.sqp import SqpConfig
+
+        cls = SqpConfig
+    else:
+        raise ValueError(f"unknown config class {name!r} in checkpoint")
+    kwargs = {}
+    for k, v in d.items():
+        if isinstance(v, dict) and "__tuple__" in v:
+            kwargs[k] = tuple(v["__tuple__"])
+        elif isinstance(v, dict) and "__class__" in v:
+            kwargs[k] = _config_from_json(v)
+        else:
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+def _engine_spec(controller: MpcController) -> Dict[str, Any]:
+    """Engine-specific design kwargs that must survive the round trip."""
+    eng = controller.engine
+    spec: Dict[str, Any] = {
+        "admm_config": None,
+        "sqp_config": None,
+        "soft_state_penalty": None,
+    }
+    if isinstance(eng, LinearEngine):
+        spec["admm_config"] = _config_to_json(eng.config)
+        if eng.soft_mu is not None:
+            mu = np.asarray(eng.soft_mu)
+            finite = mu[np.isfinite(mu)]
+            if finite.size:
+                spec["soft_state_penalty"] = float(finite.min())
+        return spec
+    from .solvers.empc import EmpcEngine
+    from .solvers.sqp import SqpEngine
+
+    if isinstance(eng, SqpEngine):
+        spec["sqp_config"] = _config_to_json(eng.config)
+    elif isinstance(eng, EmpcEngine):
+        raise ValueError(
+            "economic controllers carry arbitrary Python cost callables and "
+            "cannot be checkpointed; rebuild with design_controller("
+            "economic_cost=...) and restore warm state manually"
+        )
+    # MilpEngine: deterministic rebuild from (system, tuning) — nothing extra
+    return spec
+
+
 def save_controller(path: str, controller: MpcController) -> None:
     """Serialize the controller to ``path`` (.npz)."""
     t = controller.tuning
@@ -62,6 +142,10 @@ def save_controller(path: str, controller: MpcController) -> None:
         "initialization": np.asarray(controller.initialization),
         "warm_z": np.asarray(controller.warm_z),
         "warm_y": np.asarray(controller.warm_y),
+        # full weight matrices (scalar*I or not)
+        "Q": np.asarray(t.weights.Q),
+        "R": np.asarray(t.weights.R),
+        "S": np.asarray(t.weights.S),
     }
     meta: Dict[str, Any] = {
         "version": _FMT_VERSION,
@@ -72,11 +156,8 @@ def save_controller(path: str, controller: MpcController) -> None:
         "solver": t.solver_name,
         "terminal": t.terminal.kind,
         "state_constraint": t.state_constraint,
-        # weights are scalar*I by construction (create_weights)
-        "Q": float(np.asarray(t.weights.Q)[0, 0]),
-        "R": float(np.asarray(t.weights.R)[0, 0]),
-        "S": float(np.asarray(t.weights.S)[0, 0]),
     }
+    meta.update(_engine_spec(controller))
     if isinstance(sys, LinearDiscreteSystem):
         meta["system_kind"] = "linear_discrete"
         arrays["A"] = np.asarray(sys.A)
@@ -91,9 +172,9 @@ def save_controller(path: str, controller: MpcController) -> None:
         meta["family"] = sys.family
         meta["nx"] = sys.nx
         meta["nu"] = sys.nu
-        meta["activation"] = getattr(sys, "activation", None) or _default_act(
-            sys.family
-        )
+        # the activation recorded on the system (zoo.make_system); fall back
+        # to the family default only when the system never recorded one
+        meta["activation"] = sys.activation or zoo.default_activation(sys.family)
         meta["params_skeleton"] = _flatten("params", sys.params, arrays)
     else:
         raise ValueError(f"cannot serialize system type {type(sys).__name__}")
@@ -104,22 +185,12 @@ def save_controller(path: str, controller: MpcController) -> None:
     np.savez(path, **arrays)
 
 
-def _default_act(family: str) -> str:
-    return {
-        "rbf": "gaussian",
-        "neuralode": "tanh",
-        "rknn1": "tanh",
-        "rknn2": "tanh",
-        "rknn4": "tanh",
-    }.get(family, "relu")
-
-
 def load_controller(path: str) -> MpcController:
     """Rebuild a controller from a checkpoint: re-runs the design pipeline
     with the saved spec, then restores warm state + initialization."""
     data = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(data["__meta__"]).decode("utf-8"))
-    if meta["version"] != _FMT_VERSION:
+    if meta["version"] not in (1, _FMT_VERSION):
         raise ValueError(f"unsupported checkpoint version {meta['version']}")
     X = Box(lo=data["X.lo"], hi=data["X.hi"])
     U = Box(lo=data["U.lo"], hi=data["U.hi"])
@@ -129,15 +200,23 @@ def load_controller(path: str) -> MpcController:
         family = meta["family"]
         act = meta["activation"]
         params = _unflatten(meta["params_skeleton"], data)
-        base_apply = zoo._APPLIES[family]
-
-        def apply_fn(p, x, u):
-            return base_apply(p, x, u, activation=act)
-
+        apply_fn, act = zoo.make_apply(family, act)
         system = NeuralDiscreteSystem(
             apply_fn=apply_fn, family=family, nx=meta["nx"], nu=meta["nu"],
-            params=params, X=X, U=U,
+            params=params, X=X, U=U, activation=act,
         )
+
+    # v1 checkpoints stored scalar weights; v2 stores full matrices
+    Q = data["Q"] if "Q" in data else meta["Q"]
+    R = data["R"] if "R" in data else meta["R"]
+    S = data["S"] if "S" in data else meta["S"]
+    kwargs: Dict[str, Any] = {}
+    if meta.get("admm_config") is not None:
+        kwargs["admm_config"] = _config_from_json(meta["admm_config"])
+    if meta.get("sqp_config") is not None:
+        kwargs["sqp_config"] = _config_from_json(meta["sqp_config"])
+    if meta.get("soft_state_penalty") is not None:
+        kwargs["soft_state_penalty"] = float(meta["soft_state_penalty"])
 
     ctrl = design_controller(
         system,
@@ -148,11 +227,12 @@ def load_controller(path: str) -> MpcController:
         programming_type=meta["programming_type"],
         solver=meta["solver"],
         terminal_ingredient=meta["terminal"],
-        Q=meta["Q"],
-        R=meta["R"],
-        S=meta["S"],
+        Q=Q,
+        R=R,
+        S=S,
         max_time=meta["max_time"],
         state_constraint=meta["state_constraint"],
+        **kwargs,
     )
     return ctrl.replace(
         initialization=data["initialization"],

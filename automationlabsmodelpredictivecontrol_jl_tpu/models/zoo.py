@@ -400,6 +400,32 @@ _APPLIES = {
 }
 
 
+def default_activation(family: str) -> str:
+    """Family default activation (the reference's per-family conventions)."""
+    return {
+        "rbf": "gaussian",
+        "neuralode": "tanh",
+        "rknn1": "tanh",
+        "rknn2": "tanh",
+        "rknn4": "tanh",
+        "rnn": "tanh",
+        "gru": "tanh",
+        "lstm": "tanh",
+    }.get(family, "relu")
+
+
+def make_apply(family: str, activation: str = None) -> Tuple[Callable, str]:
+    """(apply_fn bound to the activation, resolved activation name) — the
+    deterministic rebuild used by checkpoint load (io.py)."""
+    act = activation or default_activation(family)
+    base_apply = _APPLIES[family]
+
+    def apply_fn(p, x, u):
+        return base_apply(p, x, u, activation=act)
+
+    return apply_fn, act
+
+
 def init_model(
     family: str,
     key,
@@ -417,28 +443,41 @@ def init_model(
     """
     if family not in _INITS:
         raise ValueError(f"unknown model family {family!r}; see MODEL_FAMILIES")
-    default_act = {
-        "rbf": "gaussian",
-        "neuralode": "tanh",
-        "rknn1": "tanh",
-        "rknn2": "tanh",
-        "rknn4": "tanh",
-        "rnn": "tanh",
-        "gru": "tanh",
-        "lstm": "tanh",
-    }.get(family, "relu")
-    act = activation or default_act
     init = _INITS[family]
     if family in ("neuralode", "rknn1", "rknn2", "rknn4"):
         params = init(key, nx, nu, hidden=hidden, depth=depth, dt=sample_time)
     else:
         params = init(key, nx, nu, hidden=hidden, depth=depth)
-    base_apply = _APPLIES[family]
-
-    def apply_fn(p, x, u):
-        return base_apply(p, x, u, activation=act)
-
+    apply_fn, _ = make_apply(family, activation)
     return apply_fn, params
+
+
+def make_system(
+    family: str,
+    key,
+    nx: int,
+    nu: int,
+    X,
+    U,
+    hidden: int = 16,
+    depth: int = 2,
+    activation: str = None,
+    sample_time: float = 1.0,
+):
+    """Create a NeuralDiscreteSystem of a zoo family with the activation
+    recorded on the system (so checkpoints round-trip the exact dynamics,
+    not the family default)."""
+    from ..systems import NeuralDiscreteSystem
+
+    apply_fn, params = init_model(
+        family, key, nx, nu, hidden=hidden, depth=depth,
+        activation=activation, sample_time=sample_time,
+    )
+    _, act = make_apply(family, activation)
+    return NeuralDiscreteSystem(
+        apply_fn=apply_fn, family=family, nx=nx, nu=nu,
+        params=params, X=X, U=U, activation=act,
+    )
 
 
 def rollout(apply_fn: Callable, params: Any, x0: Array, u_seq: Array) -> Array:

@@ -120,6 +120,11 @@ def solve_qp(
 MIQP_OPTIMAL = 0
 MIQP_NODE_LIMIT = 1
 MIQP_INFEASIBLE = 2
+# tree fully explored but >=1 subtree was cut without a certificate
+# (stall-pruned node, or bound-pruned on an approximately-converged
+# relaxation): incumbent is exact-ReLU feasible and optimal within the
+# pruning slacks, but global optimality is not *certified*
+MIQP_OPTIMAL_TOL = 3
 
 
 def solve_miqp(

@@ -42,6 +42,7 @@ from ..types import (
     STATUS_CONVERGED,
     STATUS_DUAL_INFEASIBLE,
     STATUS_MAX_ITER,
+    STATUS_NUMERIC_ERROR,
     STATUS_PRIMAL_INFEASIBLE,
 )
 from ..utils.pytrees import pytree_dataclass, static_field
@@ -481,16 +482,24 @@ def solve(
             & dir_ok
         )
 
+        # NaN/inf guard (SURVEY §5 sanitizer row): a poisoned iterate must
+        # surface a distinct status, never "converged-or-not with garbage".
+        # NaN comparisons are all False, so `converged` can't mask this.
+        finite = jnp.isfinite(jnp.sum(x) + jnp.sum(y) + jnp.sum(s))
         status = jnp.where(
-            converged,
-            STATUS_CONVERGED,
+            ~finite,
+            STATUS_NUMERIC_ERROR,
             jnp.where(
-                prim_infeas,
-                STATUS_PRIMAL_INFEASIBLE,
-                jnp.where(dual_infeas, STATUS_DUAL_INFEASIBLE, STATUS_MAX_ITER),
+                converged,
+                STATUS_CONVERGED,
+                jnp.where(
+                    prim_infeas,
+                    STATUS_PRIMAL_INFEASIBLE,
+                    jnp.where(dual_infeas, STATUS_DUAL_INFEASIBLE, STATUS_MAX_ITER),
+                ),
             ),
         ).astype(jnp.int32)
-        done = converged | prim_infeas | dual_infeas
+        done = converged | prim_infeas | dual_infeas | ~finite
         return r_prim, r_dual, done, status, ratio
 
     def adapt_rho(idx, ratio, it, done):

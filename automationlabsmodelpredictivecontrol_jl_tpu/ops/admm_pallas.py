@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .admm import AdmmConfig, AdmmOperator, start_rho_index
-from ..types import STATUS_CONVERGED, STATUS_MAX_ITER
+from ..types import STATUS_CONVERGED, STATUS_MAX_ITER, STATUS_NUMERIC_ERROR
 
 Array = Any
 
@@ -249,7 +249,12 @@ def solve_batch_fused(
         ratio = (r_prim / jnp.maximum(prim_norm, 1e-12)) / jnp.maximum(
             r_dual / jnp.maximum(dual_norm, 1e-12), 1e-12
         )
-        return r_prim, r_dual, conv, ratio
+        # per-lane NaN/inf guard: poisoned lanes stop iterating and report a
+        # distinct status (NaN comparisons are False so conv can't mask it)
+        finite = jnp.isfinite(
+            jnp.sum(x, axis=1) + jnp.sum(y, axis=1) + jnp.sum(s, axis=1)
+        )
+        return r_prim, r_dual, conv, ratio, finite
 
     def adapt(idx, ratio, done):
         if R == 1 or not config.adapt_interval:
@@ -267,7 +272,7 @@ def solve_batch_fused(
         return (~jnp.all(done)) & (it < config.max_iter)
 
     def body(state):
-        x, s, y, ax, idx, it, rp, rd, done, itl = state
+        x, s, y, ax, idx, it, rp, rd, done, itl, bad = state
         x2, s2, y2, ax2 = _iterate_chunk(
             op, q_s, l_s, u_s, idx, x, s, y, ax, ck, config, interpret
         )
@@ -278,11 +283,12 @@ def solve_batch_fused(
         s2 = jnp.where(keep, s, s2)
         y2 = jnp.where(keep, y, y2)
         ax2 = jnp.where(keep, ax, ax2)
-        rp2, rd2, conv, ratio = diagnostics(x2, s2, y2, ax2)
-        done2 = done | conv
+        rp2, rd2, conv, ratio, finite = diagnostics(x2, s2, y2, ax2)
+        bad2 = bad | (~finite & ~done)
+        done2 = done | conv | ~finite
         itl2 = jnp.where(done, itl, it + ck)
         idx2 = adapt(idx, ratio, done2)
-        return (x2, s2, y2, ax2, idx2, it + ck, rp2, rd2, done2, itl2)
+        return (x2, s2, y2, ax2, idx2, it + ck, rp2, rd2, done2, itl2, bad2)
 
     zeros = jnp.zeros((B,), dt)
     state = (
@@ -292,12 +298,17 @@ def solve_batch_fused(
         zeros + jnp.inf,
         zeros > 1.0,
         jnp.zeros((B,), jnp.int32),
+        zeros > 1.0,  # per-lane NaN/inf flag
     )
-    x, s, y, ax, idx, it, rp, rd, done, iters = jax.lax.while_loop(
+    x, s, y, ax, idx, it, rp, rd, done, iters, bad = jax.lax.while_loop(
         cond, body, state
     )
 
-    status = jnp.where(done, STATUS_CONVERGED, STATUS_MAX_ITER).astype(jnp.int32)
+    status = jnp.where(
+        bad,
+        STATUS_NUMERIC_ERROR,
+        jnp.where(done, STATUS_CONVERGED, STATUS_MAX_ITER),
+    ).astype(jnp.int32)
     return (
         op.D[None] * x,
         op.E[None] * y * c_inv,

@@ -166,7 +166,12 @@ def condense(
     xref_stack = references.x.T[1:].reshape(-1)  # steps 2..N+1, (N*nx,)
 
     q_const = jnp.zeros((n,), dtype)
-    if bool(jnp.any(jnp.asarray(weights.S) != 0.0)):
+    # static S check: under tracing (LTV reuse inside jit) the values are
+    # abstract, so the Δu term is included unconditionally — it is exact
+    # (S=0 makes it vanish) and keeps the function jit-safe.
+    if isinstance(weights.S, jax.core.Tracer) or bool(
+        jnp.any(jnp.asarray(weights.S) != 0.0)
+    ):
         D = _difference_operator(N, nu, dtype)
         Sbar = jnp.kron(jnp.eye(N - 1, dtype=dtype), weights.S.astype(dtype))
         d_vec = D @ uref_stack  # delta of the reference inputs

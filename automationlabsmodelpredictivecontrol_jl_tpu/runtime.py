@@ -153,15 +153,38 @@ def update_references(
     """Re-tune the controller for new references: rebuilds reference
     trajectories, terminal ingredient (fresh DARE at the new endpoint) and
     the QP/ADMM operators. Working semantics for the reference's
-    exported-but-undefined update! (computation_mpc.jl:159-284)."""
+    exported-but-undefined update! (computation_mpc.jl:159-284).
+
+    Engine-specific state is preserved: ADMM/SQP/EMPC configs, soft state
+    penalties, and — for economic controllers — the stage/terminal cost
+    functions all carry over to the re-designed controller. Weight matrices
+    pass through verbatim (scalar*I or not)."""
+    import numpy as np
+
     from .design import design_controller
 
     t = controller.tuning
-    import numpy as np
+    eng = controller.engine
+    kwargs = {}
+    if isinstance(eng, LinearEngine):
+        kwargs["admm_config"] = eng.config
+        if eng.soft_mu is not None:
+            mu = np.asarray(eng.soft_mu)
+            finite = mu[np.isfinite(mu)]
+            if finite.size:
+                kwargs["soft_state_penalty"] = float(finite.min())
+    else:
+        from .solvers.empc import EmpcEngine
+        from .solvers.sqp import SqpEngine
 
-    Q = float(np.asarray(t.weights.Q)[0, 0])
-    R = float(np.asarray(t.weights.R)[0, 0])
-    S = float(np.asarray(t.weights.S)[0, 0])
+        if isinstance(eng, SqpEngine):
+            kwargs["sqp_config"] = eng.config
+        elif isinstance(eng, EmpcEngine):
+            kwargs["economic_cost"] = eng.cost_fn
+            kwargs["economic_terminal_cost"] = eng.terminal_cost_fn
+            kwargs["empc_config"] = eng.config
+        # MilpEngine rebuilds deterministically from (system, tuning)
+
     new = design_controller(
         controller.system,
         t.horizon,
@@ -171,11 +194,12 @@ def update_references(
         programming_type=t.programming_type,
         solver=t.solver_name,
         terminal_ingredient=t.terminal.kind,
-        Q=Q,
-        R=R,
-        S=S,
+        Q=t.weights.Q,
+        R=t.weights.R,
+        S=t.weights.S,
         max_time=t.max_time,
         state_constraint=t.state_constraint,
+        **kwargs,
     )
     return new.replace(
         initialization=controller.initialization,

@@ -65,6 +65,7 @@ class EmpcConfig:
     soft_state_penalty: float = 1e4
     terminal_penalty: float = 1e4
     tol_du: float = 1e-6
+    feas_tol: float = 1e-4  # constraint-violation gate on STATUS_CONVERGED
     scaling_iters: int = 2
     admm: admm_ops.AdmmConfig = admm_ops.AdmmConfig(
         max_iter=200, eps_abs=1e-7, eps_rel=1e-7, adaptive=True
@@ -334,7 +335,35 @@ def solve_economic(
     xs = _rollout(f, x0, us, cs)
     ex = xs - refs.x.T
     eu = us - refs.u.T
-    status = jnp.where(done_f, STATUS_CONVERGED, STATUS_MAX_ITER).astype(jnp.int32)
+    # constraint-violation gate: a merit-stalled iterate with unresolved
+    # terminal/state violations must NOT report converged with zero
+    # residuals (the line search includes the zero step, and tol_du alone
+    # cannot see feasibility). The actual violation is surfaced as the
+    # primal residual so infeasible stalls are visible to the caller.
+    viol = jnp.asarray(0.0, dt)
+    if engine.state_rows:
+        viol = jnp.maximum(
+            viol,
+            jnp.max(
+                jax.nn.relu(system.X.lo - xs[1:]) + jax.nn.relu(xs[1:] - system.X.hi)
+            ),
+        )
+    ex_last = xs[-1] - refs.x[:, -1]
+    if engine.terminal_kind == "equality":
+        viol = jnp.maximum(viol, jnp.max(jnp.abs(ex_last)))
+    elif engine.terminal_kind == "contractive":
+        ex0 = xs[0] - refs.x[:, 0]
+        viol = jnp.maximum(
+            viol, jax.nn.relu(jnp.sum(ex_last**2) - 0.9 * jnp.sum(ex0**2))
+        )
+    elif engine.terminal_kind == "neighborhood":
+        viol = jnp.maximum(
+            viol, jnp.max(jax.nn.relu(tuning.terminal.H @ ex_last - tuning.terminal.b))
+        )
+    feas = viol <= cfg.feas_tol
+    status = jnp.where(done_f & feas, STATUS_CONVERGED, STATUS_MAX_ITER).astype(
+        jnp.int32
+    )
     sol = MpcSolution(
         x=xs.T,
         e_x=ex.T,
@@ -342,7 +371,7 @@ def solve_economic(
         e_u=eu.T,
         status=status,
         iterations=it_f,
-        primal_residual=jnp.asarray(0.0, dt),
+        primal_residual=viol,
         dual_residual=jnp.asarray(0.0, dt),
         objective=economic_objective(engine, tuning, xs, us),
     )

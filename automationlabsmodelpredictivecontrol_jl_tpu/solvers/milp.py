@@ -248,6 +248,12 @@ class MilpEngine:
     # per-solve re-propagation data
     tr: Any
     out: Any
+    # design-time x0 propagation box: every static row (design-ON equality,
+    # OFF r=0 pin, triangle relaxation) is sound only for x0 inside it; the
+    # system handle lets solve_milp rebuild sound rows for an excursion
+    system: Any
+    x0_lo_design: np.ndarray
+    x0_hi_design: np.ndarray
     n: int
     m: int
     N: int
@@ -314,12 +320,22 @@ def _step_bounds(engine_or_args, x_lo_0, x_hi_0):
     return bounds_per_step
 
 
-def build_engine(system, tuning, max_nodes: int = 100000, big_m: float = BIG_M) -> MilpEngine:
+def build_engine(
+    system,
+    tuning,
+    max_nodes: int = 100000,
+    big_m: float = BIG_M,
+    x0_box: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+) -> MilpEngine:
     """Assemble the condensed exact-ReLU program for N-step network MPC.
 
     Decision vector: z = [u_0..u_{N-1}; r_0..r_{N-1}] (states eliminated).
     Cost parity with the linear path (design_mpc.jl:405-468 / ops/condense):
     stage Q on x_1..x_{N-1}, terminal P on x_N, R on all inputs, S on Δu.
+
+    ``x0_box`` overrides the design-time x0 propagation seed (used by
+    solve_milp to rebuild sound rows when a measured x0 falls outside the
+    original design box).
     """
     family = system.family
     params = system.params
@@ -342,7 +358,9 @@ def build_engine(system, tuning, max_nodes: int = 100000, big_m: float = BIG_M) 
 
     X_lo, X_hi = _np64(system.X.lo), _np64(system.X.hi)
     U_lo, U_hi = _np64(system.U.lo), _np64(system.U.hi)
-    if tuning.state_constraint:
+    if x0_box is not None:
+        x0_lo, x0_hi = _np64(x0_box[0]), _np64(x0_box[1])
+    elif tuning.state_constraint:
         x0_lo, x0_hi = X_lo, X_hi
     else:
         x0_lo = np.full(nx, -big_m)
@@ -562,6 +580,7 @@ def build_engine(system, tuning, max_nodes: int = 100000, big_m: float = BIG_M) 
         Xx0=np.vstack([xa.Mx0 for xa in x_affs]),
         Xc=np.concatenate([xa.c for xa in x_affs]),
         tr=tr, out=out,
+        system=system, x0_lo_design=x0_lo, x0_hi_design=x0_hi,
         n=n, m=A.shape[0], N=N, nx=nx, nu=nu, n_r=n_r,
         state_constraint=bool(tuning.state_constraint),
         X_lo=X_lo, X_hi=X_hi, U_lo=U_lo, U_hi=U_hi, big_m=big_m,
@@ -617,6 +636,22 @@ def solve_milp(engine: MilpEngine, tuning, x0: np.ndarray):
 
     e = engine
     x0 = np.asarray(x0, np.float64)
+    # soundness gate (static rows — design-ON equalities, OFF r=0 pins,
+    # triangle relaxations — are derived from design-time interval
+    # propagation seeded with the design x0 box; a measured x0 outside it
+    # breaks the bound nesting and would silently produce trajectories that
+    # violate the true network dynamics): rebuild the engine from the
+    # widened box before solving.
+    tol = 1e-9 * (1.0 + np.abs(x0))
+    if np.any(x0 < e.x0_lo_design - tol) or np.any(x0 > e.x0_hi_design + tol):
+        # widen with a margin so a drifting state doesn't rebuild every step
+        span = np.maximum(e.x0_hi_design - e.x0_lo_design, 1e-3)
+        lo = np.minimum(e.x0_lo_design, x0 - 0.1 * span)
+        hi = np.maximum(e.x0_hi_design, x0 + 0.1 * span)
+        e = build_engine(
+            e.system, tuning, max_nodes=e.max_nodes, big_m=e.big_m,
+            x0_box=(lo, hi),
+        )
     N, nx, nu = e.N, e.nx, e.nu
     xref = np.asarray(tuning.references.x, np.float64)
     uref = np.asarray(tuning.references.u, np.float64)
@@ -703,6 +738,10 @@ def solve_milp(engine: MilpEngine, tuning, x0: np.ndarray):
         native_qp.MIQP_OPTIMAL: STATUS_CONVERGED,
         native_qp.MIQP_NODE_LIMIT: STATUS_MAX_ITER,
         native_qp.MIQP_INFEASIBLE: STATUS_PRIMAL_INFEASIBLE,
+        # exact-feasible incumbent, optimal within the pruning slacks (some
+        # subtree was cut without a certificate — the native status keeps
+        # the distinction; operationally the controller move is converged)
+        native_qp.MIQP_OPTIMAL_TOL: STATUS_CONVERGED,
     }[st]
     from .sqp import true_objective  # report the same cost the other engines do
 

@@ -74,6 +74,10 @@ class NeuralDiscreteSystem:
     """x_{k+1} = f(params, x_k, u_k), f a learned model of one of the 12
     model families (SURVEY.md §2.3). ``family`` is the model-family tag the
     reference obtains via proceed_system_model_evaluation (design_mpc.jl:176).
+
+    ``activation`` records the activation name when the model was built from
+    the zoo registry (checkpoint round-trips rebuild apply_fn from
+    (family, activation); None for opaque user callables).
     """
 
     apply_fn: Callable[..., Array] = static_field()
@@ -83,6 +87,7 @@ class NeuralDiscreteSystem:
     params: Any
     X: Box
     U: Box
+    activation: Optional[str] = static_field(default=None)
 
     def step(self, x: Array, u: Array) -> Array:
         return self.apply_fn(self.params, x, u)
@@ -99,6 +104,7 @@ class NeuralContinuousSystem:
     params: Any
     X: Box
     U: Box
+    activation: Optional[str] = static_field(default=None)
 
     def deriv(self, x: Array, u: Array) -> Array:
         return self.apply_fn(self.params, x, u)
@@ -162,6 +168,7 @@ def as_discrete(
             params=cont.params,
             X=cont.X,
             U=cont.U,
+            activation=cont.activation,
         )
     return system
 

@@ -28,12 +28,14 @@ STATUS_CONVERGED = 0
 STATUS_MAX_ITER = 1
 STATUS_PRIMAL_INFEASIBLE = 2
 STATUS_DUAL_INFEASIBLE = 3
+STATUS_NUMERIC_ERROR = 4  # NaN/inf in the iterates (SURVEY §5 sanitizer row)
 
 STATUS_NAMES = {
     STATUS_CONVERGED: "converged",
     STATUS_MAX_ITER: "max_iterations",
     STATUS_PRIMAL_INFEASIBLE: "primal_infeasible",
     STATUS_DUAL_INFEASIBLE: "dual_infeasible",
+    STATUS_NUMERIC_ERROR: "numeric_error",
 }
 
 

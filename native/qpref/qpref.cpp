@@ -189,7 +189,16 @@ int qpref_solve(int n, int m, const double* P_in, const double* q_in,
       }
     return cholesky(K, n);
   };
-  if (factorize() != 0) return QPREF_MAX_ITER;
+  // factorization-failure exits must still report a stall to the caller:
+  // leave z/y untouched but write huge residuals + zero iters so B&B
+  // callers never classify the node as a near-converged relaxation.
+  auto fail_exit = [&]() -> QprefStatus {
+    *iters = 0;
+    *rprim = 1e300;
+    *rdual = 1e300;
+    return QPREF_MAX_ITER;
+  };
+  if (factorize() != 0) return fail_exit();
 
   // warm start into scaled space: x_s = z / D, y_s = c y / E
   std::vector<double> x(n), yv(m);
@@ -275,7 +284,17 @@ int qpref_solve(int n, int m, const double* P_in, const double* q_in,
           const double scale = std::sqrt(rp_rel / rd_rel);
           if (scale > 5.0 || scale < 0.2) {
             rho_cur = clamp(rho_cur * scale, 1e-6, 1e6);
-            if (factorize() != 0) return QPREF_MAX_ITER;
+            // mid-iteration refactorization failure: report the stall with
+            // the residuals measured just above (rp/rd are current) and
+            // unscale the iterate so the caller never sees scaled-space z/y
+            if (factorize() != 0) {
+              for (int j = 0; j < n; ++j) z[j] = D[j] * x[j];
+              for (int r = 0; r < m; ++r) y[r] = E[r] * yv[r] / c;
+              *iters = it;
+              *rprim = 1e300;
+              *rdual = rd;
+              return QPREF_MAX_ITER;
+            }
           }
         }
       }
@@ -433,6 +452,11 @@ enum MiqpStatus {
   MIQP_OPTIMAL = 0,
   MIQP_NODE_LIMIT = 1,
   MIQP_INFEASIBLE = 2,
+  // tree fully explored but at least one subtree was cut without a
+  // certificate (stall-pruned node or bound-pruned on an approximately
+  // converged relaxation): the incumbent is exact-feasible and optimal
+  // within the pruning slacks, but global optimality is not certified
+  MIQP_OPTIMAL_TOL = 3,
 };
 
 int qpref_solve_miqp(int n, int m, const double* P, const double* q,
@@ -623,6 +647,7 @@ int qpref_solve_relu_bb(int n, int m, const double* P, const double* q,
   }
   int nodes = 0;
   bool node_limit = false;
+  bool uncertified_prune = false;  // any subtree cut without a certificate
   const bool debug = std::getenv("QPREF_DEBUG") != nullptr;
   const auto t_start = std::chrono::steady_clock::now();
   auto out_of_time = [&] {
@@ -740,13 +765,19 @@ int qpref_solve_relu_bb(int n, int m, const double* P, const double* q,
     if (st == QPREF_MAX_ITER && rp > 1e-2) {
       zn.assign(n, 0.0);  // stalled node: don't warm-start siblings from it
       yn.assign(m, 0.0);
+      uncertified_prune = true;  // heuristic cut — no infeasibility cert
       continue;
     }
 
     const double obj = qp_objective(n, P, q, zn.data());
     const double slack = 1e-6 * (1.0 + std::fabs(obj)) +
                          (st == QPREF_MAX_ITER ? 1e-2 * (1.0 + std::fabs(obj)) : 0.0);
-    if (have_incumbent && obj >= best - slack) continue;
+    if (have_incumbent && obj >= best - slack) {
+      // bound-pruning off an approximately-converged relaxation (MAX_ITER
+      // with small residuals) uses a non-rigorous lower bound
+      if (st == QPREF_MAX_ITER) uncertified_prune = true;
+      continue;
+    }
 
     // phase consistency: r == relu(a) per unstable neuron
     int branch_i = -1;
@@ -790,15 +821,20 @@ int qpref_solve_relu_bb(int n, int m, const double* P, const double* q,
   *nodes_out = nodes;
   if (!have_incumbent) {
     // a node/time-limit exit without an incumbent proves nothing;
-    // infeasibility is only declared from a fully explored tree
+    // infeasibility is only declared from a fully explored tree — and only
+    // a certified one (uncertified prunes could have cut the feasible set)
     *obj_out = 1e300;
-    *status_out = node_limit ? MIQP_NODE_LIMIT : MIQP_INFEASIBLE;
+    *status_out = node_limit
+                      ? MIQP_NODE_LIMIT
+                      : (uncertified_prune ? MIQP_NODE_LIMIT : MIQP_INFEASIBLE);
     return *status_out;
   }
   std::memcpy(z, z_best.data(), sizeof(double) * n);
   std::memcpy(y, y_best.data(), sizeof(double) * m);
   *obj_out = best;
-  *status_out = node_limit ? MIQP_NODE_LIMIT : MIQP_OPTIMAL;
+  *status_out = node_limit
+                    ? MIQP_NODE_LIMIT
+                    : (uncertified_prune ? MIQP_OPTIMAL_TOL : MIQP_OPTIMAL);
   return *status_out;
 }
 

@@ -149,3 +149,34 @@ def test_vmapped_batch_statuses():
     # spot check one lane against the oracle
     z_ref = _oracle(P, np.asarray(qs[3], np.float64), A, l, u)
     np.testing.assert_allclose(np.asarray(res.z[3], np.float64), z_ref, atol=1e-3)
+
+
+def test_nan_poisoned_qp_reports_numeric_error():
+    """A NaN in the problem data must surface STATUS_NUMERIC_ERROR, not
+    silently converge-or-not (SURVEY §5 sanitizer row; VERDICT r01 weak #8)."""
+    P, q, A, l, u = _random_qp(0)
+    q = q.copy()
+    q[0] = np.nan
+    res = _solve(P, q, A, l, u)
+    assert int(res.status) == mpc.STATUS_NUMERIC_ERROR
+
+
+def test_nan_poisoned_fused_kernel_reports_numeric_error():
+    from automationlabsmodelpredictivecontrol_jl_tpu.ops import admm_pallas
+
+    P, q, A, l, u = _random_qp(1)
+    cfg = admm.AdmmConfig(max_iter=500, eps_abs=1e-6, eps_rel=1e-6)
+    eq = np.isfinite(l) & np.isfinite(u) & (l == u)
+    op = admm.build_operator(P, A, eq, 0, cfg)
+    B = 4
+    qb = np.tile(q, (B, 1)).astype(np.float32)
+    qb[2, 0] = np.nan  # poison one lane only
+    lb = np.tile(l, (B, 1)).astype(np.float32)
+    ub = np.tile(u, (B, 1)).astype(np.float32)
+    z, y, s, status, iters, rp, rd = admm_pallas.solve_batch_fused(
+        op, jnp.asarray(qb), jnp.asarray(lb), jnp.asarray(ub),
+        config=cfg, interpret=True,
+    )
+    status = np.asarray(status)
+    assert status[2] == mpc.STATUS_NUMERIC_ERROR
+    assert all(status[i] == mpc.STATUS_CONVERGED for i in (0, 1, 3))

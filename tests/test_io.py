@@ -58,3 +58,79 @@ def test_neural_roundtrip(tmp_path):
     _, sol_a = mpc.step(c, jnp.full(4, 0.61))
     _, sol_b = mpc.step(c2, jnp.full(4, 0.61))
     np.testing.assert_allclose(np.asarray(sol_b.u), np.asarray(sol_a.u), atol=1e-4)
+
+
+def test_nondefault_activation_roundtrip(tmp_path):
+    """A tanh fnn saved and loaded must come back tanh (VERDICT r01 weak #4:
+    the old loader silently rebuilt with the family default relu)."""
+    sys = mpc.make_system(
+        "fnn", jax.random.PRNGKey(3), 4, 2, qtp.X_BOX, qtp.U_BOX,
+        hidden=8, depth=1, activation="tanh",
+    )
+    assert sys.activation == "tanh"
+    c = mpc.proceed_controller(
+        sys, "model_predictive_control", 5, 5.0, np.full(4, 0.65), np.full(2, 1.2)
+    )
+    path = os.path.join(tmp_path, "tanh_fnn.npz")
+    save_controller(path, c)
+    c2 = load_controller(path)
+    assert c2.system.activation == "tanh"
+    x = jnp.asarray([0.6, 0.7, 0.6, 0.7])
+    u = jnp.asarray([1.0, 1.0])
+    # bit-identical dynamics (a relu rebuild would differ grossly)
+    np.testing.assert_array_equal(
+        np.asarray(c2.system.step(x, u)), np.asarray(sys.step(x, u))
+    )
+    _, sol_a = mpc.step(c, jnp.full(4, 0.6))
+    _, sol_b = mpc.step(c2, jnp.full(4, 0.6))
+    np.testing.assert_array_equal(np.asarray(sol_b.u), np.asarray(sol_a.u))
+
+
+def test_engine_config_roundtrip(tmp_path):
+    """Custom AdmmConfig + soft state penalty survive the checkpoint
+    (VERDICT r01 weak #4: engine configs were not persisted)."""
+    sys = qtp.linearized_discrete_system()
+    cfg = mpc.AdmmConfig(max_iter=321, rho=0.7, rho_grid=(0.7, 7.0),
+                         eps_abs=1e-7, eps_rel=1e-7)
+    c = mpc.design_controller(
+        sys, 5, 5.0, np.full(4, 0.65), np.full(2, 1.2),
+        admm_config=cfg, state_constraint=True, soft_state_penalty=123.0,
+    )
+    path = os.path.join(tmp_path, "cfg.npz")
+    save_controller(path, c)
+    c2 = load_controller(path)
+    assert c2.engine.config == cfg
+    assert c2.engine.soft_mu is not None
+    mu = np.asarray(c2.engine.soft_mu)
+    assert float(mu[np.isfinite(mu)].min()) == 123.0
+    _, sol_a = mpc.step(c, jnp.full(4, 0.6))
+    _, sol_b = mpc.step(c2, jnp.full(4, 0.6))
+    np.testing.assert_array_equal(np.asarray(sol_b.u), np.asarray(sol_a.u))
+
+
+def test_sqp_config_roundtrip(tmp_path):
+    sys = mpc.make_system(
+        "fnn", jax.random.PRNGKey(5), 4, 2, qtp.X_BOX, qtp.U_BOX,
+        hidden=6, depth=1, activation="tanh",
+    )
+    scfg = mpc.SqpConfig(max_sqp_iter=7, tol_du=1e-4,
+                         line_search_alphas=(1.0, 0.3))
+    c = mpc.design_controller(
+        sys, 5, 5.0, np.full(4, 0.65), np.full(2, 1.2), sqp_config=scfg,
+    )
+    path = os.path.join(tmp_path, "sqp.npz")
+    save_controller(path, c)
+    c2 = load_controller(path)
+    assert c2.engine.config == scfg
+
+
+def test_empc_save_refused(tmp_path):
+    import pytest
+
+    sys = qtp.linearized_discrete_system()
+    c = mpc.design_controller(
+        sys, 5, 5.0, np.full(4, 0.65), np.full(2, 1.2),
+        economic_cost=lambda x, u: jnp.sum(u**2),
+    )
+    with pytest.raises(ValueError, match="economic"):
+        save_controller(os.path.join(tmp_path, "empc.npz"), c)

@@ -128,6 +128,44 @@ def test_update_references_redesigns():
     assert int(sol.status) == 0
 
 
+def test_update_references_preserves_engine_state():
+    """ADVICE r01: update_references must not silently drop engine configs,
+    soft penalties, or — worst — the economic stage cost."""
+    from automationlabsmodelpredictivecontrol_jl_tpu.solvers.empc import EmpcEngine
+
+    sys = qtp.linearized_discrete_system()
+    # custom ADMM config + soft state constraint on the linear engine
+    cfg = mpc.AdmmConfig(max_iter=333, rho=0.5, rho_grid=(0.5, 5.0))
+    c = mpc.design_controller(
+        sys, 5, 5.0, np.asarray(X_REF), np.asarray(U_REF),
+        admm_config=cfg, state_constraint=True, soft_state_penalty=77.0,
+    )
+    c2 = mpc.update_references(c, np.full(4, 0.8), np.full(2, 1.5))
+    assert c2.engine.config == cfg
+    mu = np.asarray(c2.engine.soft_mu)
+    assert float(mu[np.isfinite(mu)].min()) == 77.0
+
+    # economic controller keeps its stage cost + engine type
+    stage = lambda x, u: jnp.sum(u**2) + 0.1 * jnp.sum(x**2)
+    ce = mpc.design_controller(
+        sys, 5, 5.0, np.asarray(X_REF), np.asarray(U_REF),
+        economic_cost=stage,
+        empc_config=mpc.EmpcConfig(max_sqp_iter=9),
+    )
+    ce2 = mpc.update_references(ce, np.full(4, 0.7), np.full(2, 1.3))
+    assert isinstance(ce2.engine, EmpcEngine)
+    assert ce2.engine.cost_fn is stage
+    assert ce2.engine.config.max_sqp_iter == 9
+
+    # non-scalar weights pass through verbatim
+    Qm = np.diag([100.0, 50.0, 100.0, 50.0]).astype(np.float32)
+    cm = mpc.design_controller(
+        sys, 5, 5.0, np.full(4, 0.65), np.full(2, 1.2), Q=Qm
+    )
+    cm2 = mpc.update_references(cm, np.full(4, 0.8), np.full(2, 1.5))
+    np.testing.assert_allclose(np.asarray(cm2.tuning.weights.Q), Qm)
+
+
 def test_step_is_jittable():
     sys = qtp.linearized_discrete_system()
     c = mpc.proceed_controller(sys, "model_predictive_control", 5, 5.0,
