@@ -43,6 +43,7 @@ from .design import (
     MpcController,
     MpcTuning,
     LinearEngine,
+    RiccatiEngine,
     create_weights,
     design_controller,
 )
@@ -57,6 +58,7 @@ from .runtime import (
 from .main import proceed_controller, DEFAULT_PARAMETERS
 from .io import load_controller, save_controller
 from .ops.admm import AdmmConfig
+from .ops.riccati import RiccatiConfig
 from .solvers.empc import EmpcConfig, EmpcEngine
 from .solvers.sqp import SqpConfig, SqpEngine
 from .terminal import create_terminal_ingredient, invariant_terminal_set
@@ -80,6 +82,8 @@ __all__ = [
     "NeuralContinuousSystem",
     "NeuralDiscreteSystem",
     "References",
+    "RiccatiConfig",
+    "RiccatiEngine",
     "SqpConfig",
     "SqpEngine",
     "STATUS_CONVERGED",

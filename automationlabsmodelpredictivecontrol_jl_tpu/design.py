@@ -18,6 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .ops import admm as admm_ops
+from .ops import riccati as riccati_ops
 from .ops.condense import CondensedQpData, condense_np
 from .solvers.registry import engine_for, resolve_solver
 from .systems import (
@@ -65,6 +66,36 @@ class LinearEngine:
     op: admm_ops.AdmmOperator
     soft_mu: Optional[Array]
     config: admm_ops.AdmmConfig = static_field()
+
+
+@pytree_dataclass
+class RiccatiEngine:
+    """O(N) sparse engine: Riccati-factorized ADMM over the block-
+    tridiagonal KKT system (ops/riccati.py) — the long-horizon path
+    (SURVEY §7.5 / BASELINE north star: block-structured KKT factorization
+    fused with horizon rollout). Selected by ``design_controller(...,
+    engine="riccati")`` or automatically at long horizons."""
+
+    op: riccati_ops.RiccatiOperator
+    config: riccati_ops.RiccatiConfig = static_field()
+
+
+# horizon at which design's engine="auto" switches the linear path from the
+# condensed O((N nu)^2) engine to the O(N) Riccati engine. Measured on QTP
+# (nx=4, nu=2): per-iteration FLOPs cross near N~45; compile + per-iteration
+# HBM traffic favor the sparse engine a bit earlier on TPU.
+RICCATI_AUTO_HORIZON = 40
+
+
+def riccati_supported(terminal_kind: str, S, soft_state_penalty) -> bool:
+    """Feature gate for the sparse engine: no Δu coupling (S=0), no soft
+    rows, terminal kind box/ball-representable per state block."""
+    if soft_state_penalty is not None:
+        return False
+    if terminal_kind not in ("none", "equality", "contractive"):
+        return False
+    S_arr = np.asarray(S, np.float64)
+    return not np.any(S_arr != 0.0)
 
 
 @pytree_dataclass
@@ -157,6 +188,8 @@ def design_controller(
     economic_cost: Optional[Any] = None,
     economic_terminal_cost: Optional[Any] = None,
     empc_config: Optional[Any] = None,
+    engine: str = "auto",
+    riccati_config: Optional[riccati_ops.RiccatiConfig] = None,
 ) -> MpcController:
     """Design an MPC controller (defaults mirror
     _DEFAULT_PARAMETERS_MODEL_PREDICTIVE_CONTROL, main_mpc.jl:87-94;
@@ -166,6 +199,12 @@ def design_controller(
     ``economic_cost`` (a JAX-traceable ``l(x, u) -> scalar``) switches the
     controller to the economic-MPC engine (the branch the reference
     reserved at main_mpc.jl:54-83 but never shipped); see solvers/empc.py.
+
+    ``engine``: linear-path engine selection — "condensed" (dense condensed
+    QP + factorized ADMM, the short-horizon default), "riccati" (O(N)
+    block-tridiagonal Riccati-ADMM, the long-horizon engine; requires S=0,
+    hard constraints, terminal kind none/equality/contractive), or "auto"
+    (crossover at horizon >= RICCATI_AUTO_HORIZON when supported).
 
     Runs pinned to the host CPU backend (design is a once-per-controller
     eager phase; see utils/devices.py) — the operator pytree moves to the
@@ -186,6 +225,7 @@ def design_controller(
             economic_cost=economic_cost,
             economic_terminal_cost=economic_terminal_cost,
             empc_config=empc_config,
+            engine=engine, riccati_config=riccati_config,
         )
 
 
@@ -212,6 +252,8 @@ def _design_controller_impl(
     economic_cost: Optional[Any] = None,
     economic_terminal_cost: Optional[Any] = None,
     empc_config: Optional[Any] = None,
+    engine: str = "auto",
+    riccati_config: Optional[riccati_ops.RiccatiConfig] = None,
 ) -> MpcController:
 
     sys_d = as_discrete(system, sample_time)
@@ -290,7 +332,6 @@ def _design_controller_impl(
         )
 
     if engine_kind == "admm":
-        admm_config = admm_config or admm_ops.AdmmConfig()
         # "Linear" programming on a learned family: linearize at the FIRST
         # reference point then delegate to the linear modeler
         # (fnn/...:38-46 and identically in every family).
@@ -299,6 +340,54 @@ def _design_controller_impl(
             if is_neural
             else sys_d
         )
+        if engine not in ("auto", "condensed", "riccati"):
+            raise ValueError(
+                f"unknown engine {engine!r}; available: auto|condensed|riccati"
+            )
+        use_riccati = engine == "riccati" or (
+            engine == "auto"
+            and horizon >= RICCATI_AUTO_HORIZON
+            and riccati_supported(terminal.kind, weights.S, soft_state_penalty)
+        )
+        if use_riccati:
+            if not riccati_supported(terminal.kind, weights.S, soft_state_penalty):
+                raise ValueError(
+                    "riccati engine requires S=0, hard constraints and a "
+                    "none/equality/contractive terminal kind; use "
+                    "engine='condensed' for this configuration"
+                )
+            riccati_config = riccati_config or riccati_ops.RiccatiConfig()
+            x_ref0 = np.asarray(references.x[:, 0], np.float64)
+            u_ref0 = np.asarray(references.u[:, 0], np.float64)
+            if state_constraint:
+                x_lo_dev = np.asarray(lin_sys.X.lo, np.float64) - x_ref0
+                x_hi_dev = np.asarray(lin_sys.X.hi, np.float64) - x_ref0
+            else:
+                x_lo_dev = np.full((nx,), -np.inf)
+                x_hi_dev = np.full((nx,), np.inf)
+            op = riccati_ops.build_riccati_operator(
+                lin_sys.A, lin_sys.B, weights.Q, weights.R, terminal.P,
+                horizon,
+                x_lo_dev, x_hi_dev,
+                np.asarray(lin_sys.U.lo, np.float64) - u_ref0,
+                np.asarray(lin_sys.U.hi, np.float64) - u_ref0,
+                state_constraint,
+                terminal_kind=terminal.kind,
+                config=riccati_config,
+            )
+            eng = RiccatiEngine(op=op, config=riccati_config)
+            warm_z = jnp.zeros((horizon * nu,), jnp.float32)
+            warm_y = jnp.zeros(((horizon + 1) * nx + horizon * nu,), jnp.float32)
+            return MpcController(
+                system=sys_d,
+                tuning=tuning,
+                engine=eng,
+                initialization=jnp.zeros((nx,), jnp.float32),
+                warm_z=warm_z,
+                warm_y=warm_y,
+                results=None,
+            )
+        admm_config = admm_config or admm_ops.AdmmConfig()
         engine = _linear_engine(lin_sys, tuning, admm_config, soft_state_penalty)
         m = engine.op.A_s.shape[0]
         n = engine.op.A_s.shape[1]

@@ -27,9 +27,10 @@ from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
-from .design import LinearEngine, MpcController, design_controller
+from .design import LinearEngine, MpcController, RiccatiEngine, design_controller
 from .models import zoo
 from .ops.admm import AdmmConfig
+from .ops.riccati import RiccatiConfig
 from .systems import LinearDiscreteSystem, NeuralDiscreteSystem
 from .types import Box
 
@@ -80,6 +81,8 @@ def _config_from_json(d: Any) -> Any:
     name = d.pop("__class__")
     if name == "AdmmConfig":
         cls = AdmmConfig
+    elif name == "RiccatiConfig":
+        cls = RiccatiConfig
     elif name == "SqpConfig":
         from .solvers.sqp import SqpConfig
 
@@ -103,15 +106,22 @@ def _engine_spec(controller: MpcController) -> Dict[str, Any]:
     spec: Dict[str, Any] = {
         "admm_config": None,
         "sqp_config": None,
+        "riccati_config": None,
+        "engine": None,
         "soft_state_penalty": None,
     }
     if isinstance(eng, LinearEngine):
+        spec["engine"] = "condensed"
         spec["admm_config"] = _config_to_json(eng.config)
         if eng.soft_mu is not None:
             mu = np.asarray(eng.soft_mu)
             finite = mu[np.isfinite(mu)]
             if finite.size:
                 spec["soft_state_penalty"] = float(finite.min())
+        return spec
+    if isinstance(eng, RiccatiEngine):
+        spec["engine"] = "riccati"
+        spec["riccati_config"] = _config_to_json(eng.config)
         return spec
     from .solvers.empc import EmpcEngine
     from .solvers.sqp import SqpEngine
@@ -215,6 +225,10 @@ def load_controller(path: str) -> MpcController:
         kwargs["admm_config"] = _config_from_json(meta["admm_config"])
     if meta.get("sqp_config") is not None:
         kwargs["sqp_config"] = _config_from_json(meta["sqp_config"])
+    if meta.get("riccati_config") is not None:
+        kwargs["riccati_config"] = _config_from_json(meta["riccati_config"])
+    if meta.get("engine"):
+        kwargs["engine"] = meta["engine"]
     if meta.get("soft_state_penalty") is not None:
         kwargs["soft_state_penalty"] = float(meta["soft_state_penalty"])
 

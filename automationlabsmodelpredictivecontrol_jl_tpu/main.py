@@ -99,6 +99,8 @@ def proceed_controller(
         ),
         admm_config=kws.get("admm_config"),
         sqp_config=kws.get("sqp_config"),
+        engine=kws.get("engine", "auto"),
+        riccati_config=kws.get("riccati_config"),
         economic_cost=kws.get("mpc_cost_function"),
         economic_terminal_cost=kws.get("mpc_terminal_cost_function"),
         empc_config=kws.get("empc_config"),

@@ -10,7 +10,7 @@ fused with horizon rollout"):
 ADMM splitting
     min 0.5 w' H w + q' w + I_dyn(w) + I_box(v),   w = v
 with w = (e_x_1..N+1, e_u_1..N), H = blkdiag(Q.., P_term, R..). The w-update
-    min 0.5 w'(H + rho I) w + lin' w   s.t.  e_{k+1} = A e_k + B du_k
+    min 0.5 w'(H + rho I) w + lin' w  s.t.  e_{k+1} = A e_k + B du_k
 is an affine LQR: its *factorization* (Riccati matrices + feedback gains)
 depends only on (A, B, weights, rho) — computed ONCE at design time per
 rho-grid entry — while each iteration only reruns the affine backward sweep
@@ -19,6 +19,12 @@ MXU (lanes share all gain matrices).
 
 Per-iteration cost: O(N (nx^2 + nx nu)) vs condensed O((N nu)^2 + N^2 nx nu);
 memory O(N) vs O(N^2). The crossover makes this the long-horizon engine.
+
+Terminal kinds (design_mpc.jl:330-391): "none"; "equality" (the terminal
+state joins the splitting with a [0,0] box); "contractive" (the terminal
+state joins the splitting with a Euclidean-ball projection of radius
+sqrt(0.9)·||e_1||). "neighborhood" H-rep rows are not box/ball-representable
+per state block — design routes those to the condensed engine.
 """
 
 from __future__ import annotations
@@ -31,8 +37,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..types import (
+    CONTRACTIVE_FACTOR,
     STATUS_CONVERGED,
     STATUS_MAX_ITER,
+    STATUS_NUMERIC_ERROR,
+    STATUS_PRIMAL_INFEASIBLE,
 )
 from ..utils.pytrees import pytree_dataclass, static_field
 
@@ -51,28 +60,31 @@ class RiccatiConfig:
     max_iter: int = 2000
     rho: float = 10.0
     rho_grid: tuple = (1.0, 10.0, 100.0)
-    adapt_interval: int = 50
     check_interval: int = 25
     sigma: float = 1e-6
-    alpha: float = 1.6
     eps_abs: float = 1e-5
     eps_rel: float = 1e-5
+    # infeasibility stall detector: on an infeasible problem consensus-ADMM
+    # duals grow linearly forever while the primal residual converges to the
+    # (nonzero) constraint gap. `stall_checks` consecutive check blocks with
+    # <0.1% relative primal improvement at rp > 10 tol declare
+    # STATUS_PRIMAL_INFEASIBLE (a feasible solve contracts far faster).
+    stall_checks: int = 8
 
 
 @pytree_dataclass
 class RiccatiFactors:
     """Design-time affine-LQR factorization for one rho value.
 
-    Backward Riccati on cost blocks Qb_k = Q + (sigma+rho) I (k=1..N; the
-    terminal block uses P_term + (sigma+rho) I) and Rb = R + (sigma+rho) I:
+    Backward Riccati on cost blocks Qb_k = Q + reg_k (k=1..N; the terminal
+    block uses P_term + reg_term) and Rb = R + (sigma+rho) I:
 
         S_{N+1} = Qb_term
         G_k  = (Rb + B' S_{k+1} B)^{-1}
         K_k  = G_k B' S_{k+1} A
         S_k  = Qb + A' S_{k+1} (A - B K_k)
 
-    Stored: K (N, nu, nx), G (N, nu, nu), AmBK (N, nx, nx) = A - B K_k,
-    and S-propagation pieces for the affine sweep."""
+    Stored: K (N, nu, nx), G (N, nu, nu), AmBK (N, nx, nx) = A - B K_k."""
 
     K: Array  # (N, nu, nx)
     G: Array  # (N, nu, nu)
@@ -84,26 +96,36 @@ class RiccatiFactors:
 
 @pytree_dataclass
 class RiccatiOperator:
-    """Sparse-MPC ADMM operator: per-rho-grid LQR factorizations + bounds."""
+    """Sparse-MPC ADMM operator: per-rho-grid LQR factorizations + bounds.
+
+    Deviation-space boxes: ``x_lo/x_hi`` (nx,) apply to the interior states
+    e_2..e_N (split only when ``split_interior``); ``xN_lo/xN_hi`` to the
+    terminal state e_{N+1} (split when ``split_terminal``; for the equality
+    terminal kind they are [0, 0])."""
 
     factors: Any  # RiccatiFactors with leading rho-grid axis (R, ...)
-    rho_grid: Array  # (R,)
+    # static so the fused kernel's rho constant and the grid index stay
+    # concrete when the operator itself is traced (e.g. inside shard_map)
+    rho_grid: tuple = static_field()  # (R,) sorted rho values
     Q: Array  # (nx, nx) stage state cost
     P_term: Array  # (nx, nx)
     R_in: Array  # (nu, nu)
-    x_lo: Array  # (nx,) deviation-space box (may be +-inf)
+    x_lo: Array  # (nx,) interior deviation box (may be +-inf)
     x_hi: Array
+    xN_lo: Array  # (nx,) terminal deviation box
+    xN_hi: Array
     u_lo: Array  # (nu,)
     u_hi: Array
     N: int = static_field()
     nx: int = static_field()
     nu: int = static_field()
-    state_constraint: bool = static_field()
+    split_interior: bool = static_field()
+    split_terminal: bool = static_field()
+    terminal_ball: bool = static_field()  # contractive: ball-project e_{N+1}
 
 
 def _factorize_one(A, B, Qb, Rb, Qb_term, N):
     """Backward Riccati factorization (host/design time, f64)."""
-    nx, nu = B.shape
     S = Qb_term
     Ks, Gs, AmBKs = [], [], []
     for _ in range(N):
@@ -136,9 +158,18 @@ def build_riccati_operator(
     u_lo: Array,
     u_hi: Array,
     state_constraint: bool,
+    terminal_kind: str = "none",
     config: RiccatiConfig = RiccatiConfig(),
 ) -> RiccatiOperator:
-    """Design-time factorization for every rho-grid entry (host, f64)."""
+    """Design-time factorization for every rho-grid entry (host, f64).
+
+    Boxes are deviation-space. ``terminal_kind`` in {"none", "equality",
+    "contractive"}; neighborhood H-rep rows are out of this engine's scope
+    (the condensed engine covers them)."""
+    if terminal_kind not in ("none", "equality", "contractive"):
+        raise ValueError(
+            f"riccati engine does not support terminal kind {terminal_kind!r}"
+        )
     A64 = np.asarray(A, np.float64)
     B64 = np.asarray(B, np.float64)
     Q64 = np.asarray(Q, np.float64)
@@ -146,16 +177,42 @@ def build_riccati_operator(
     P64 = np.asarray(P_term, np.float64)
     nx, nu = B64.shape
 
+    split_interior = bool(state_constraint)
+    split_terminal = bool(state_constraint) or terminal_kind in (
+        "equality",
+        "contractive",
+    )
+    terminal_ball = terminal_kind == "contractive"
+
+    x_lo64 = np.asarray(x_lo, np.float64)
+    x_hi64 = np.asarray(x_hi, np.float64)
+    if terminal_kind == "equality":
+        xN_lo = np.zeros(nx)
+        xN_hi = np.zeros(nx)
+    elif state_constraint:
+        xN_lo, xN_hi = x_lo64, x_hi64
+    else:
+        xN_lo = np.full(nx, -np.inf)
+        xN_hi = np.full(nx, np.inf)
+
     grid = sorted(set(float(r) for r in config.rho_grid) | {float(config.rho)})
     Ks, Gs, AmBKs = [], [], []
     for rho in grid:
-        reg = (config.sigma + rho) * np.eye(nx)
         reg_u = (config.sigma + rho) * np.eye(nu)
-        # states beyond the box participate in the splitting only when state
-        # constraints are on; inputs always do
-        rho_x = reg if state_constraint else config.sigma * np.eye(nx)
+        # rho joins a state block's cost only where that block is split —
+        # otherwise the w-update would take pointless proximal steps
+        rho_int = (
+            (config.sigma + rho) * np.eye(nx)
+            if split_interior
+            else config.sigma * np.eye(nx)
+        )
+        rho_term = (
+            (config.sigma + rho) * np.eye(nx)
+            if split_terminal
+            else config.sigma * np.eye(nx)
+        )
         K, G, AmBK = _factorize_one(
-            A64, B64, Q64 + rho_x, R64 + reg_u, P64 + rho_x, N
+            A64, B64, Q64 + rho_int, R64 + reg_u, P64 + rho_term, N
         )
         Ks.append(K)
         Gs.append(G)
@@ -172,18 +229,22 @@ def build_riccati_operator(
     )
     return RiccatiOperator(
         factors=factors,
-        rho_grid=f32(np.asarray(grid)),
+        rho_grid=tuple(grid),
         Q=f32(Q64),
         P_term=f32(P64),
         R_in=f32(R64),
-        x_lo=f32(x_lo),
-        x_hi=f32(x_hi),
+        x_lo=f32(x_lo64),
+        x_hi=f32(x_hi64),
+        xN_lo=f32(xN_lo),
+        xN_hi=f32(xN_hi),
         u_lo=f32(u_lo),
         u_hi=f32(u_hi),
         N=int(N),
         nx=int(nx),
         nu=int(nu),
-        state_constraint=bool(state_constraint),
+        split_interior=split_interior,
+        split_terminal=split_terminal,
+        terminal_ball=terminal_ball,
     )
 
 
@@ -214,7 +275,7 @@ def _lqr_affine_solve(op: RiccatiOperator, ridx, e0, lin_interior, lin_xN, lin_u
 
     def bwd(g_next, inp):
         K_k, G_k, AmBK_k, lpre_k, lu_k = inp
-        ff_k = _mm(G_k, op.factors.Bt @ g_next + lu_k)
+        ff_k = _mm(G_k, _mm(op.factors.Bt, g_next) + lu_k)
         g_k = _mm(AmBK_k.T, g_next) - _mm(K_k.T, lu_k) + lpre_k
         return g_k, ff_k
 
@@ -228,13 +289,42 @@ def _lqr_affine_solve(op: RiccatiOperator, ridx, e0, lin_interior, lin_xN, lin_u
     # forward rollout: u_k = -K_k e_k - ff_k ; e_{k+1} = A e_k + B u_k
     def fwd(e, inp):
         K_k, ff_k = inp
-        u_k = -(K_k @ e) - ff_k
-        e_next = A @ e + B @ u_k
+        u_k = -_mm(K_k, e) - ff_k
+        e_next = _mm(A, e) + _mm(B, u_k)
         return e_next, (e_next, u_k)
 
     _, (es, us) = jax.lax.scan(fwd, e0, (K, ffs))
     X = jnp.concatenate([e0[None], es], axis=0)
     return X, us
+
+
+def _project_X(op: RiccatiOperator, V: Array, ball_r) -> Array:
+    """Project the state copy V (N+1, nx) onto its per-block constraint set:
+    interior box (rows 1..N-1), terminal box or ball (row N). Row 0 (the
+    fixed e_1) is never projected."""
+    out = V
+    if op.split_interior:
+        interior = jnp.clip(V[1:-1], op.x_lo, op.x_hi)
+        out = out.at[1:-1].set(interior)
+    if op.terminal_ball:
+        w = V[-1]
+        nrm = jnp.linalg.norm(w)
+        scale = jnp.where(nrm > ball_r, ball_r / jnp.maximum(nrm, 1e-30), 1.0)
+        out = out.at[-1].set(w * scale)
+    elif op.split_terminal:
+        out = out.at[-1].set(jnp.clip(V[-1], op.xN_lo, op.xN_hi))
+    return out
+
+
+def rollout_warm(op: RiccatiOperator, e0: Array, U: Array) -> Array:
+    """Forward rollout of a warm input plan (deviation space): O(N) scan."""
+
+    def fwd(e, u_k):
+        e_next = _mm(op.factors.A, e) + _mm(op.factors.B, u_k)
+        return e_next, e_next
+
+    _, es = jax.lax.scan(fwd, e0, U)
+    return jnp.concatenate([e0[None], es], axis=0)
 
 
 def solve_sparse(
@@ -247,95 +337,131 @@ def solve_sparse(
 ):
     """One sparse ADMM solve (vmap over lanes for batching).
 
-    Splitting: w = (X, U) handled by the LQR solve; v = clipped copy with
-    duals lam. Returns (X, U, status, iterations, r_prim, warm duals).
-    """
+    Splitting: w = (X, U) handled by the LQR solve; v = projected copy with
+    duals lam. Returns (X, U, status, iterations, r_prim, r_dual,
+    (lamX, lamU))."""
     N, nx, nu = op.N, op.nx, op.nu
     dt = jnp.float32
-    grid = op.rho_grid
-    R_ = grid.shape[0]
-    ridx0 = jnp.argmin(jnp.abs(jnp.log(grid) - jnp.log(config.rho))).astype(
-        jnp.int32
+    grid = jnp.asarray(op.rho_grid, dt)
+    ridx0 = jnp.asarray(
+        int(np.argmin(np.abs(np.log(op.rho_grid) - np.log(config.rho)))),
+        jnp.int32,
+    )
+    split_x = op.split_interior or op.split_terminal
+    ball_r = (
+        jnp.sqrt(CONTRACTIVE_FACTOR) * jnp.linalg.norm(e0)
+        if op.terminal_ball
+        else jnp.asarray(0.0, dt)
     )
 
-    X0 = jnp.zeros((N + 1, nx), dt) if warm_X is None else warm_X
     U0 = jnp.zeros((N, nu), dt) if warm_U is None else warm_U
+    X0 = rollout_warm(op, e0, U0) if warm_X is None else warm_X
     if warm_lam is None:
         lamX0 = jnp.zeros((N + 1, nx), dt)
         lamU0 = jnp.zeros((N, nu), dt)
     else:
         lamX0, lamU0 = warm_lam
 
-    vX0 = X0
-    vU0 = U0
+    vX0 = _project_X(op, X0, ball_r)
+    vU0 = jnp.clip(U0, op.u_lo, op.u_hi)
     ck = max(1, int(config.check_interval))
 
     def admm_iter(carry, _):
         X, U, vX, vU, lamX, lamU, ridx = carry
         rho = jnp.take(grid, ridx)
         # w-update linear terms: the augmented term -(rho v - lam)
-        if op.state_constraint:
+        if op.split_interior:
             lin_int = -rho * vX[1:-1] + lamX[1:-1]  # interior states e_2..e_N
-            lin_xN = -rho * vX[-1] + lamX[-1]
         else:
             lin_int = jnp.zeros((N - 1, nx), dt)
+        if op.split_terminal:
+            lin_xN = -rho * vX[-1] + lamX[-1]
+        else:
             lin_xN = jnp.zeros((nx,), dt)
         lin_u = -rho * vU + lamU
         Xn, Un = _lqr_affine_solve(op, ridx, X[0], lin_int, lin_xN, lin_u)
-        # v-update: projection onto the boxes; dual ascent
+        # v-update: projection onto the blocks; dual ascent
         vUn = jnp.clip(Un + lamU / rho, op.u_lo, op.u_hi)
         lamUn = lamU + rho * (Un - vUn)
-        if op.state_constraint:
-            vXn = jnp.clip(Xn + lamX / rho, op.x_lo, op.x_hi)
+        if split_x:
+            vXn = _project_X(op, Xn + lamX / rho, ball_r)
             lamXn = lamX + rho * (Xn - vXn)
             # the fixed initial state e_1 is NOT part of the splitting — a
             # dual on it would wind up forever when e0 sits outside the box
             vXn = vXn.at[0].set(Xn[0])
             lamXn = lamXn.at[0].set(0.0)
+            if not op.split_interior:
+                # only the terminal row participates
+                vXn = vXn.at[1:-1].set(Xn[1:-1])
+                lamXn = lamXn.at[1:-1].set(0.0)
         else:
             vXn = Xn
             lamXn = jnp.zeros_like(lamX)
         return (Xn, Un, vXn, vUn, lamXn, lamUn, ridx), None
 
-    def residuals(X, U, vX, vU):
-        ru = jnp.max(jnp.abs(U - vU))
-        if op.state_constraint:
-            return jnp.maximum(jnp.max(jnp.abs(X - vX)), ru)
-        return ru
+    def residuals(X, U, vX, vU, vX_prev, vU_prev, rho):
+        rp = jnp.max(jnp.abs(U - vU))
+        rd = rho * jnp.max(jnp.abs(vU - vU_prev))
+        if split_x:
+            rp = jnp.maximum(jnp.max(jnp.abs(X - vX)), rp)
+            rd = jnp.maximum(rho * jnp.max(jnp.abs(vX - vX_prev)), rd)
+        return rp, rd
 
     def body(state):
-        X, U, vX, vU, lamX, lamU, ridx, it, rp, done = state
+        X, U, vX, vU, lamX, lamU, ridx, it, rp, rd, done, stall = state
         vU_prev = vU
         vX_prev = vX
         (Xn, Un, vXn, vUn, lamXn, lamUn, ridxn), _ = jax.lax.scan(
             admm_iter, (X, U, vX, vU, lamX, lamU, ridx), None, length=ck
         )
-        rp_new = residuals(Xn, Un, vXn, vUn)
         rho = jnp.take(grid, ridxn)
-        rd_new = rho * jnp.maximum(
-            jnp.max(jnp.abs(vUn - vU_prev)), jnp.max(jnp.abs(vXn - vX_prev))
-        )
+        rp_new, rd_new = residuals(Xn, Un, vXn, vUn, vX_prev, vU_prev, rho)
         scale = jnp.maximum(
             jnp.max(jnp.abs(Un)), jnp.maximum(jnp.max(jnp.abs(Xn)), 1e-6)
         )
         tol = config.eps_abs + config.eps_rel * scale
-        done_new = (rp_new <= tol) & (rd_new <= tol * rho)
-        return (Xn, Un, vXn, vUn, lamXn, lamUn, ridxn, it + ck, rp_new, done_new)
+        finite = jnp.isfinite(jnp.sum(Un) + jnp.sum(Xn))
+        # infeasibility signature: primal residual stalled well above tol
+        # (duals growing linearly against an unreachable constraint set)
+        stalled = (rp_new > 10.0 * tol) & (
+            jnp.abs(rp - rp_new) <= 1e-3 * rp_new
+        )
+        stall_new = jnp.where(stalled, stall + 1, 0)
+        done_new = (
+            ((rp_new <= tol) & (rd_new <= tol * rho))
+            | ~finite
+            | (stall_new >= config.stall_checks)
+        )
+        return (
+            Xn, Un, vXn, vUn, lamXn, lamUn, ridxn, it + ck, rp_new, rd_new,
+            done_new, stall_new,
+        )
 
     def cond(state):
-        it, done = state[7], state[9]
+        it, done = state[7], state[10]
         return (~done) & (it < config.max_iter)
 
     zero = jnp.sum(e0) * 0.0
+    izero = zero.astype(jnp.int32)
     X0 = X0.at[0].set(e0)
     init = (
-        X0, U0, vX0, vU0, lamX0, lamU0, ridx0 + zero.astype(jnp.int32),
-        zero.astype(jnp.int32), jnp.inf + zero, zero > 1.0,
+        X0, U0, vX0, vU0, lamX0, lamU0, ridx0 + izero,
+        izero, jnp.inf + zero, jnp.inf + zero, zero > 1.0, izero,
     )
-    X, U, vX, vU, lamX, lamU, ridx, it, rp, done = jax.lax.while_loop(
-        cond, body, init
+    X, U, vX, vU, lamX, lamU, ridx, it, rp, rd, done, stall = (
+        jax.lax.while_loop(cond, body, init)
     )
-    status = jnp.where(done, STATUS_CONVERGED, STATUS_MAX_ITER).astype(jnp.int32)
+    finite = jnp.isfinite(jnp.sum(U) + jnp.sum(X))
+    infeasible = stall >= config.stall_checks
+    status = jnp.where(
+        ~finite,
+        STATUS_NUMERIC_ERROR,
+        jnp.where(
+            infeasible,
+            STATUS_PRIMAL_INFEASIBLE,
+            jnp.where(done, STATUS_CONVERGED, STATUS_MAX_ITER),
+        ),
+    ).astype(jnp.int32)
     # return the projected (feasible) inputs
     U_out = jnp.clip(U, op.u_lo, op.u_hi)
-    return X, U_out, status, it, rp, (lamX, lamU)
+    return X, U_out, status, it, rp, rd, (lamX, lamU)

@@ -2,6 +2,7 @@ from .scenarios import (
     SCENARIO_AXIS,
     BatchDiagnostics,
     closed_loop_batch,
+    fused_supported,
     init_warm_batch,
     make_mesh,
     solve_batch,
@@ -13,6 +14,7 @@ __all__ = [
     "SCENARIO_AXIS",
     "BatchDiagnostics",
     "closed_loop_batch",
+    "fused_supported",
     "init_warm_batch",
     "make_mesh",
     "solve_batch",

@@ -110,6 +110,68 @@ def solve_batch(
     return sol, wz, wy, _diagnostics(sol)
 
 
+def _solve_batch_fused_riccati(
+    controller: MpcController,
+    x0s: Array,  # (B, nx)
+    warm_z: Array,  # (B, N*nu)
+    warm_y: Array,  # (B, (N+1)*nx + N*nu)
+    interpret: Optional[bool] = None,
+) -> Tuple[MpcSolution, Array, Array, BatchDiagnostics]:
+    """Batched sparse solves on the Pallas-fused Riccati kernel (the
+    long-horizon engine; see ops/riccati_pallas.py). Mirrors
+    runtime._solve_riccati lane-wise."""
+    from ..ops import riccati_pallas
+    from ..solvers.sqp import true_objective
+    from ..types import STATUS_PRIMAL_INFEASIBLE
+
+    engine = controller.engine
+    op = engine.op
+    N, nx, nu = op.N, op.nx, op.nu
+    B = x0s.shape[0]
+    tuning = controller.tuning
+    refs = tuning.references
+    e0s = x0s - refs.x[:, 0][None]
+    warm_U = warm_z.reshape(B, N, nu)
+    lamX = warm_y[:, : (N + 1) * nx].reshape(B, N + 1, nx)
+    lamU = warm_y[:, (N + 1) * nx :].reshape(B, N, nu)
+
+    X, U, status, iters, rp, rd, (lamX_f, lamU_f) = (
+        riccati_pallas.solve_sparse_fused(
+            op, e0s, warm_U=warm_U, warm_lam=(lamX, lamU),
+            config=engine.config, interpret=interpret,
+        )
+    )
+    xs = X + refs.x.T[None]  # (B, N+1, nx)
+    us = U + refs.u.T[None]  # (B, N, nu)
+    if tuning.state_constraint:
+        sys = controller.system
+        x0_ok = jnp.all((x0s >= sys.X.lo) & (x0s <= sys.X.hi), axis=1)
+        status = jnp.where(x0_ok, status, STATUS_PRIMAL_INFEASIBLE).astype(
+            jnp.int32
+        )
+    obj = jax.vmap(lambda xi, ui: true_objective(tuning, xi, ui))(xs, us)
+
+    sol = MpcSolution(
+        x=xs.transpose(0, 2, 1),
+        e_x=X.transpose(0, 2, 1),
+        u=us.transpose(0, 2, 1),
+        e_u=U.transpose(0, 2, 1),
+        status=status,
+        iterations=iters,
+        primal_residual=rp,
+        dual_residual=rd,
+        objective=obj,
+    )
+    U_shift = jnp.concatenate([U[:, 1:], U[:, -1:]], axis=1)
+    lamX_shift = jnp.concatenate([lamX_f[:, 1:], lamX_f[:, -1:]], axis=1)
+    lamU_shift = jnp.concatenate([lamU_f[:, 1:], lamU_f[:, -1:]], axis=1)
+    wz = U_shift.reshape(B, -1)
+    wy = jnp.concatenate(
+        [lamX_shift.reshape(B, -1), lamU_shift.reshape(B, -1)], axis=1
+    )
+    return sol, wz, wy, _diagnostics(sol)
+
+
 def solve_batch_fused(
     controller: MpcController,
     x0s: Array,  # (B, nx)
@@ -117,19 +179,28 @@ def solve_batch_fused(
     warm_y: Optional[Array] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[MpcSolution, Array, Array, BatchDiagnostics]:
-    """Batched linear-MPC solves on the Pallas-fused ADMM kernel.
+    """Batched linear-MPC solves on a Pallas-fused kernel.
 
-    Same results/diagnostics contract as :func:`solve_batch`, restricted to
-    linear engines without ball rows (terminal kind != "contractive") or
-    soft rows — the general engine handles those. State for a whole chunk of
-    iterations stays in VMEM; see ops/admm_pallas.py.
+    Same results/diagnostics contract as :func:`solve_batch`. Dispatches on
+    the engine: condensed LinearEngine → ops/admm_pallas.py (restricted to
+    no ball rows / soft rows — the general engine handles those);
+    RiccatiEngine → ops/riccati_pallas.py (the long-horizon sparse kernel,
+    all its terminal kinds incl. contractive balls). State for a whole chunk
+    of iterations stays in VMEM.
     """
-    from ..design import LinearEngine
+    from ..design import LinearEngine, RiccatiEngine
     from ..ops import admm_pallas
     from ..ops.condense import runtime_qp_vectors
     from ..solvers.sqp import true_objective
 
     engine = controller.engine
+    if isinstance(engine, RiccatiEngine):
+        B = x0s.shape[0]
+        if warm_z is None or warm_y is None:
+            warm_z, warm_y = init_warm_batch(controller, B)
+        return _solve_batch_fused_riccati(
+            controller, x0s, warm_z, warm_y, interpret
+        )
     if not isinstance(engine, LinearEngine):
         raise ValueError("fused path requires a linear engine")
     if engine.soft_mu is not None:
@@ -199,18 +270,38 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = SCENARIO_AXIS) -> Mes
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
+def fused_supported(controller: MpcController) -> bool:
+    """True when the controller's engine has a Pallas-fused batch kernel:
+    condensed LinearEngine without ball/soft rows, or any RiccatiEngine."""
+    from ..design import LinearEngine, RiccatiEngine
+
+    eng = controller.engine
+    if isinstance(eng, RiccatiEngine):
+        return True
+    if isinstance(eng, LinearEngine):
+        return eng.soft_mu is None and eng.op.n_ball == 0
+    return False
+
+
 def solve_sharded(
     controller: MpcController,
     x0s: Array,  # (B, nx), B divisible by mesh size
     mesh: Optional[Mesh] = None,
     warm_z: Optional[Array] = None,
     warm_y: Optional[Array] = None,
+    fused: Optional[bool] = None,
 ) -> Tuple[MpcSolution, Array, Array, BatchDiagnostics]:
     """Scenario-sharded batch solve over a device mesh.
 
     The controller is replicated; x0/warm/solution pytrees are sharded on
     the leading scenario axis; diagnostics are psum-aggregated over ICI so
     every shard (and the host) sees fleet-level numbers.
+
+    ``fused`` routes each shard's local batch through the Pallas-fused
+    kernel (ops/admm_pallas.py / ops/riccati_pallas.py) instead of the
+    vmapped general engine. Default: auto — fused whenever the engine
+    supports it (:func:`fused_supported`), so the multi-chip path runs the
+    same fast kernel as the single-chip headline.
     """
     mesh = mesh or make_mesh()
     axis = mesh.axis_names[0]
@@ -220,12 +311,18 @@ def solve_sharded(
         raise ValueError(f"batch {B} not divisible by mesh size {n_dev}")
     if warm_z is None or warm_y is None:
         warm_z, warm_y = init_warm_batch(controller, B)
+    if fused is None:
+        fused = fused_supported(controller)
 
     def shard_body(ctrl, x0_l, wz_l, wy_l):
-        sol, wz, wy = jax.vmap(
-            lambda x0, z, y: solve_once(ctrl, x0, z, y)
-        )(x0_l, wz_l, wy_l)
-        diag = _psum_diagnostics(_diagnostics(sol), axis)
+        if fused:
+            sol, wz, wy, diag_l = solve_batch_fused(ctrl, x0_l, wz_l, wy_l)
+        else:
+            sol, wz, wy = jax.vmap(
+                lambda x0, z, y: solve_once(ctrl, x0, z, y)
+            )(x0_l, wz_l, wy_l)
+            diag_l = _diagnostics(sol)
+        diag = _psum_diagnostics(diag_l, axis)
         return sol, wz, wy, diag
 
     shard = P(axis)
@@ -235,6 +332,10 @@ def solve_sharded(
         mesh=mesh,
         in_specs=(rep, shard, shard, shard),
         out_specs=(shard, shard, shard, rep),
+        # pallas_call outputs carry no varying-mesh-axis metadata; skip the
+        # static replication check (the psum-aggregated diag is still
+        # replicated by construction)
+        check_vma=False,
     )
     return f(controller, x0s, warm_z, warm_y)
 

@@ -25,8 +25,9 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .design import LinearEngine, MpcController, MpcTuning
+from .design import LinearEngine, MpcController, MpcTuning, RiccatiEngine
 from .ops import admm as admm_ops
+from .ops import riccati as riccati_ops
 from .ops.condense import runtime_qp_vectors
 from .solvers import sqp as sqp_mod
 from .solvers.sqp import true_objective
@@ -87,6 +88,56 @@ def _solve_linear(
     return sol, z_shift, res.y
 
 
+def _solve_riccati(
+    engine: RiccatiEngine,
+    tuning: MpcTuning,
+    system,
+    x0: Array,
+    warm_z: Array,  # (N*nu,) flat input-deviation plan
+    warm_y: Array,  # ((N+1)*nx + N*nu,) flat (lamX, lamU)
+) -> Tuple[MpcSolution, Array, Array]:
+    """O(N) sparse solve (the long-horizon engine). Same contract as the
+    condensed path: deviation-space solve, receding-horizon warm carry."""
+    op = engine.op
+    N, nx, nu = op.N, op.nx, op.nu
+    refs = tuning.references
+    e0 = x0 - refs.x[:, 0]
+    U_warm = warm_z.reshape(N, nu)
+    lamX = warm_y[: (N + 1) * nx].reshape(N + 1, nx)
+    lamU = warm_y[(N + 1) * nx :].reshape(N, nu)
+    X, U, status, iters, rp, rd, (lamX_f, lamU_f) = riccati_ops.solve_sparse(
+        op, e0, warm_U=U_warm, warm_lam=(lamX, lamU), config=engine.config
+    )
+    xs = X + refs.x.T  # (N+1, nx)
+    us = U + refs.u.T  # (N, nu)
+
+    if tuning.state_constraint:
+        # feasibility of the (fixed) first state, like the condensed path
+        x0_ok = jnp.all((x0 >= system.X.lo) & (x0 <= system.X.hi))
+        status = jnp.where(x0_ok, status, STATUS_PRIMAL_INFEASIBLE).astype(
+            jnp.int32
+        )
+
+    sol = MpcSolution(
+        x=xs.T,
+        e_x=X.T,
+        u=us.T,
+        e_u=U.T,
+        status=status,
+        iterations=iters,
+        primal_residual=rp,
+        dual_residual=rd,
+        objective=true_objective(tuning, xs, us),
+    )
+    # receding-horizon warm carry: shift plan + duals one step
+    U_shift = jnp.concatenate([U[1:], U[-1:]], axis=0)
+    lamX_shift = jnp.concatenate([lamX_f[1:], lamX_f[-1:]], axis=0)
+    lamU_shift = jnp.concatenate([lamU_f[1:], lamU_f[-1:]], axis=0)
+    wz = U_shift.reshape(-1)
+    wy = jnp.concatenate([lamX_shift.reshape(-1), lamU_shift.reshape(-1)])
+    return sol, wz, wy
+
+
 def _solve_sqp(
     engine, tuning: MpcTuning, system, x0: Array, warm_z: Array, warm_y: Array
 ) -> Tuple[MpcSolution, Array, Array]:
@@ -105,6 +156,10 @@ def solve_once(
 
     if isinstance(controller.engine, LinearEngine):
         return _solve_linear(
+            controller.engine, controller.tuning, controller.system, x0, warm_z, warm_y
+        )
+    if isinstance(controller.engine, RiccatiEngine):
+        return _solve_riccati(
             controller.engine, controller.tuning, controller.system, x0, warm_z, warm_y
         )
     if isinstance(controller.engine, MilpEngine):
@@ -167,12 +222,16 @@ def update_references(
     eng = controller.engine
     kwargs = {}
     if isinstance(eng, LinearEngine):
+        kwargs["engine"] = "condensed"
         kwargs["admm_config"] = eng.config
         if eng.soft_mu is not None:
             mu = np.asarray(eng.soft_mu)
             finite = mu[np.isfinite(mu)]
             if finite.size:
                 kwargs["soft_state_penalty"] = float(finite.min())
+    elif isinstance(eng, RiccatiEngine):
+        kwargs["engine"] = "riccati"
+        kwargs["riccati_config"] = eng.config
     else:
         from .solvers.empc import EmpcEngine
         from .solvers.sqp import SqpEngine

@@ -151,6 +151,51 @@ def main():
         {"converged_fraction": round(int(diag.n_converged) / B, 4)},
     )
 
+    # ---- config 6: long-horizon crossover (condensed vs Riccati) --------
+    # The O(N) sparse engine (ops/riccati.py + riccati_pallas.py) vs the
+    # condensed O((N nu)^2) engine at N = 50/100/200 — the BASELINE
+    # north-star "block-tridiagonal KKT fused with rollout" axis.
+    from automationlabsmodelpredictivecontrol_jl_tpu.ops.riccati import (
+        RiccatiConfig,
+    )
+
+    B = 4096
+    x0s_lh = jnp.asarray(
+        np.clip(0.65 + 0.1 * rng.standard_normal((B, 4)), 0.3, 1.3), np.float32
+    )
+    for N in (50, 100, 200):
+        for engine_name in ("condensed", "riccati"):
+            kw = dict(admm_config=AdmmConfig(max_iter=1000))
+            if engine_name == "riccati":
+                kw = dict(
+                    riccati_config=RiccatiConfig(max_iter=1000, rho=10.0)
+                )
+            c6 = mpc.proceed_controller(
+                sys_lin, "model_predictive_control", N, 5.0, x_ref, u_ref,
+                engine=engine_name, **kw,
+            )
+            wz, wy = parallel.init_warm_batch(c6, B)
+            try:
+                solve6 = jax.jit(
+                    lambda x, z, y, c=c6: parallel.solve_batch_fused(c, x, z, y)
+                )
+                dt, (_, _, _, diag) = _timeit(lambda: solve6(x0s_lh, wz, wy), reps=3)
+            except Exception as exc:  # VMEM overflow etc: vmap engine
+                print(f"# {engine_name} h{N} fused failed ({type(exc).__name__}); vmap path")
+                solve6 = jax.jit(
+                    lambda x, z, y, c=c6: parallel.solve_batch(c, x, z, y)
+                )
+                dt, (_, _, _, diag) = _timeit(lambda: solve6(x0s_lh, wz, wy), reps=3)
+            emit(
+                f"linear_mpc_{engine_name}_h{N}",
+                B / dt,
+                B,
+                {
+                    "converged_fraction": round(int(diag.n_converged) / B, 4),
+                    "mean_iterations": round(float(diag.mean_iterations), 1),
+                },
+            )
+
     n_dev = len(jax.devices())
     if n_dev > 1:
         mesh = parallel.make_mesh(n_dev)

