@@ -38,6 +38,7 @@ _BLOCK = 512  # scenario lanes per grid program
 def _iterate_kernel(
     # inputs (VMEM)
     kinv_ref,  # (R, n, n)
+    k_ref,  # (R, n, n)  unfactored K (refinement only)
     atrho_ref,  # (R, n, m)  = A_s' diag(rho_r)
     a_ref,  # (m, n)
     rhov_ref,  # (R, m)
@@ -60,6 +61,7 @@ def _iterate_kernel(
     chunk: int,
     sigma: float,
     alpha: float,
+    refine_steps: int,
     precision,
 ):
     A = a_ref[:]  # (m, n)
@@ -87,10 +89,22 @@ def _iterate_kernel(
                 s, atrho_ref[r].T, preferred_element_type=jnp.float32,
                 precision=precision,
             )  # (BLK, n)
+            rhs = base + w
             cand = jnp.dot(
-                base + w, kinv_ref[r], preferred_element_type=jnp.float32,
+                rhs, kinv_ref[r], preferred_element_type=jnp.float32,
                 precision=precision,
             )  # K_inv symmetric
+            # iterative refinement of the f32 K-solve (the jax engine's
+            # refine_steps; without it hard lanes hit an f32 dual floor)
+            for _ in range(refine_steps):
+                Kx = jnp.dot(
+                    cand, k_ref[r], preferred_element_type=jnp.float32,
+                    precision=precision,
+                )  # K symmetric
+                cand = cand + jnp.dot(
+                    rhs - Kx, kinv_ref[r],
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
             xt = xt + (idx == r).astype(jnp.float32) * cand
         st = jnp.dot(xt, A.T, preferred_element_type=jnp.float32,
                      precision=precision)  # (BLK, m)
@@ -141,6 +155,7 @@ def _iterate_chunk(
         chunk=int(chunk),
         sigma=float(config.sigma),
         alpha=float(config.alpha),
+        refine_steps=int(config.refine_steps),
         precision=prec,
     )
     shared = pl.BlockSpec(memory_space=pltpu.VMEM)  # full array, replicated
@@ -153,6 +168,7 @@ def _iterate_chunk(
         grid=(B // blk,),
         in_specs=[
             shared,  # K_invs
+            shared,  # Ks
             shared,  # AtRho
             shared,  # A_s
             shared,  # rho_vecs
@@ -173,10 +189,10 @@ def _iterate_chunk(
             jax.ShapeDtypeStruct((B, m), jnp.float32),
             jax.ShapeDtypeStruct((B, m), jnp.float32),
         ],
-        input_output_aliases={9: 0, 10: 1, 11: 2, 12: 3},
+        input_output_aliases={10: 0, 11: 1, 12: 2, 13: 3},
         interpret=interpret,
     )(
-        op.K_invs, atrho, op.A_s, op.rho_vecs, op.rho_invs,
+        op.K_invs, op.Ks, atrho, op.A_s, op.rho_vecs, op.rho_invs,
         q_s, l_s, u_s, idx[:, None].astype(jnp.int32), x, s, y, ax,
     )
     return tuple(out)

@@ -2,8 +2,10 @@ from .scenarios import (
     SCENARIO_AXIS,
     BatchDiagnostics,
     closed_loop_batch,
+    escalation_controller,
     fused_supported,
     init_warm_batch,
+    make_escalated_solver,
     make_mesh,
     solve_batch,
     solve_batch_fused,
@@ -14,8 +16,10 @@ __all__ = [
     "SCENARIO_AXIS",
     "BatchDiagnostics",
     "closed_loop_batch",
+    "escalation_controller",
     "fused_supported",
     "init_warm_batch",
+    "make_escalated_solver",
     "make_mesh",
     "solve_batch",
     "solve_batch_fused",

@@ -340,6 +340,194 @@ def solve_sharded(
     return f(controller, x0s, warm_z, warm_y)
 
 
+def escalation_controller(
+    controller: MpcController,
+    rho_grid: Tuple[float, ...] = (0.01, 0.1, 1.0, 10.0, 100.0),
+    max_iter: int = 4000,
+    refine_steps: int = 2,
+) -> MpcController:
+    """Fallback controller for straggler re-dispatch: same condensed QP,
+    full prefactorized rho grid + a deep iteration budget + 2 iterative-
+    refinement steps on the K-solve (without refinement, hard lanes hit an
+    f32 dual-residual floor above eps). Built once; the escalated solver
+    sends only the (few) non-converged lanes here."""
+    import dataclasses
+
+    from ..design import LinearEngine
+    from ..ops import admm as admm_ops
+
+    eng = controller.engine
+    if not isinstance(eng, LinearEngine):
+        return controller
+    cfg = dataclasses.replace(
+        eng.config, rho_grid=tuple(rho_grid), max_iter=int(max_iter),
+        adaptive=True, refine_steps=int(refine_steps),
+    )
+    l_np = np.asarray(eng.qp.l_const)
+    u_np = np.asarray(eng.qp.u_const)
+    eq_mask = np.isfinite(l_np) & np.isfinite(u_np) & (l_np == u_np)
+    op = admm_ops.build_operator(
+        eng.qp.P, eng.qp.A, eq_mask, eng.qp.n_ball, cfg
+    )
+    return controller.replace(
+        engine=LinearEngine(qp=eng.qp, op=op, soft_mu=eng.soft_mu, config=cfg)
+    )
+
+
+def _native_lane_solve(controller: MpcController, x0, wz_lane, wy_lane):
+    """Tier-3 straggler solve: host f64 via the native C++ oracle
+    (native/qpref). Returns numpy pieces for one lane of the batch solution
+    (condensed LinearEngine only)."""
+    from .. import native_qp
+    from ..solvers.sqp import true_objective
+
+    eng = controller.engine
+    qp = eng.qp
+    refs = controller.tuning.references
+    N, nx, nu = qp.N, qp.nx, qp.nu
+    e0 = np.asarray(x0, np.float64) - np.asarray(refs.x[:, 0], np.float64)
+    q = np.asarray(qp.q_const, np.float64) + np.asarray(qp.q_x0, np.float64) @ e0
+    shift = np.asarray(qp.b_x0, np.float64) @ e0
+    l = np.asarray(qp.l_const, np.float64) + shift
+    u = np.asarray(qp.u_const, np.float64) + shift
+    z, y, status, iters, rp, rd = native_qp.solve_qp(
+        np.asarray(qp.P, np.float64), q, np.asarray(qp.A, np.float64), l, u,
+        z0=np.asarray(wz_lane, np.float64), y0=np.asarray(wy_lane, np.float64),
+        eps_abs=1e-7, eps_rel=1e-7,
+    )
+    eu = z.reshape(N, nu)
+    ex_tail = (
+        np.asarray(qp.G_flat, np.float64) @ z
+        + np.asarray(qp.F, np.float64).reshape(N * nx, nx) @ e0
+    ).reshape(N, nx)
+    ex = np.concatenate([e0[None], ex_tail], axis=0)  # (N+1, nx)
+    xs = ex + np.asarray(refs.x, np.float64).T
+    us = eu + np.asarray(refs.u, np.float64).T
+    obj = float(
+        true_objective(
+            controller.tuning,
+            jnp.asarray(xs, jnp.float32),
+            jnp.asarray(us, jnp.float32),
+        )
+    )
+    wz_next = np.concatenate([eu[1:], eu[-1:]], axis=0).reshape(-1)
+    lane_sol = dict(
+        x=xs.T, e_x=ex.T, u=us.T, e_u=eu.T, status=status,
+        iterations=iters, primal_residual=rp, dual_residual=rd, objective=obj,
+    )
+    return lane_sol, wz_next.astype(np.float32), y.astype(np.float32)
+
+
+def make_escalated_solver(
+    controller: MpcController,
+    fallback: Optional[MpcController] = None,
+    min_bucket: int = 64,
+    native_tier: bool = True,
+):
+    """Tiered batch solver — the production-serving pattern that closes the
+    convergence tail without paying the full rho grid on every lane:
+
+    1. fused Pallas kernel, the controller's (narrow, calibrated) config;
+    2. stragglers (STATUS_MAX_ITER / STATUS_NUMERIC_ERROR) gathered to a
+       power-of-two bucket and re-solved on the fused kernel with the full
+       prefactorized rho grid + deep iteration budget;
+    3. anything still unconverged (typically 0-2 lanes per 16k) crosses to
+       the host f64 native oracle (native/qpref) — the same boundary hop
+       the reference pays on *every* solve (SURVEY §3.2).
+
+    Returns ``solve(x0s, warm_z=None, warm_y=None) -> (sol, wz, wy, diag)``.
+    Host-driven — not itself jittable, by design (it is the boundary where
+    serving logic lives). Infeasibility certificates (status 2/3) are never
+    re-dispatched."""
+    from ..design import LinearEngine
+
+    fb = fallback if fallback is not None else escalation_controller(controller)
+    fast = jax.jit(lambda x, z, y: solve_batch_fused(controller, x, z, y))
+    if fused_supported(fb):
+        slow = jax.jit(lambda x, z, y: solve_batch_fused(fb, x, z, y))
+    else:
+        slow = jax.jit(lambda x, z, y: solve_batch(fb, x, z, y))
+    native_ok = native_tier and isinstance(controller.engine, LinearEngine)
+
+    @jax.jit
+    def gather_merge(x0s, warm_z, warm_y, sol, wz, wy, gidx):
+        """Gather the straggler bucket, re-solve on the fallback engine and
+        scatter back — one jitted program (eager per-leaf scatters cost
+        seconds over a tunneled TPU link). ``gidx`` pads with a repeated
+        live index, so duplicate scatters write identical values."""
+        sol2, wz2, wy2, _ = slow(x0s[gidx], warm_z[gidx], warm_y[gidx])
+        scatter = lambda f, p: f.at[gidx].set(p)
+        sol_m = jax.tree_util.tree_map(scatter, sol, sol2)
+        wz_m = scatter(wz, wz2)
+        wy_m = scatter(wy, wy2)
+        return sol_m, wz_m, wy_m, _diagnostics(sol_m)
+
+    def _redispatch_idx(status: np.ndarray) -> np.ndarray:
+        return np.nonzero((status == 1) | (status == 4))[0]
+
+    def solve(x0s, warm_z=None, warm_y=None):
+        B = x0s.shape[0]
+        if warm_z is None or warm_y is None:
+            warm_z, warm_y = init_warm_batch(controller, B)
+        sol, wz, wy, diag = fast(x0s, warm_z, warm_y)
+        idx = _redispatch_idx(np.asarray(sol.status))
+        if idx.size == 0:
+            return sol, wz, wy, diag
+
+        # tier 2: fused full-grid fallback on the straggler bucket
+        bucket = min(B, max(min_bucket, 1 << (int(idx.size) - 1).bit_length()))
+        pad = np.full(bucket, idx[0], np.int64)
+        pad[: idx.size] = idx
+        sol, wz, wy, diag = gather_merge(
+            x0s, warm_z, warm_y, sol, wz, wy, jnp.asarray(pad)
+        )
+
+        # tier 3: host f64 oracle for the last few lanes
+        idx3 = _redispatch_idx(np.asarray(sol.status)) if native_ok else ()
+        if len(idx3) == 0:
+            return sol, wz, wy, diag
+
+        x0_np = np.asarray(x0s)
+        wz_np = np.asarray(warm_z)
+        wy_np = np.asarray(warm_y)
+        lanes, wz3, wy3 = [], [], []
+        for i in idx3:
+            lane, wzl, wyl = _native_lane_solve(
+                controller, x0_np[i], wz_np[i], wy_np[i]
+            )
+            lanes.append(lane)
+            wz3.append(wzl)
+            wy3.append(wyl)
+        li = jnp.asarray(idx3)
+
+        def put(field, key, dt=jnp.float32):
+            vals = jnp.asarray(
+                np.stack([ln[key] for ln in lanes]).astype(np.float64), dt
+            )
+            return field.at[li].set(vals)
+
+        sol = sol.replace(
+            x=put(sol.x, "x"),
+            e_x=put(sol.e_x, "e_x"),
+            u=put(sol.u, "u"),
+            e_u=put(sol.e_u, "e_u"),
+            status=sol.status.at[li].set(
+                jnp.asarray([ln["status"] for ln in lanes], jnp.int32)
+            ),
+            iterations=sol.iterations.at[li].set(
+                jnp.asarray([ln["iterations"] for ln in lanes], jnp.int32)
+            ),
+            primal_residual=put(sol.primal_residual, "primal_residual"),
+            dual_residual=put(sol.dual_residual, "dual_residual"),
+            objective=put(sol.objective, "objective"),
+        )
+        wz = wz.at[li].set(jnp.asarray(np.stack(wz3)))
+        wy = wy.at[li].set(jnp.asarray(np.stack(wy3)))
+        return sol, wz, wy, _diagnostics(sol)
+
+    return solve
+
+
 def closed_loop_batch(
     controller: MpcController,
     plant_step,  # (x, u) -> x_next; the true plant

@@ -128,3 +128,83 @@ def test_condensed_sharded_fused_matches_general(controller):
     sol_g, _, _, d_g = parallel.solve_sharded(controller, x0s, mesh, fused=False)
     np.testing.assert_allclose(np.asarray(sol_f.u), np.asarray(sol_g.u), atol=5e-4)
     assert int(d_f.n_converged) == 16
+
+
+def test_escalated_solver_closes_tail():
+    """Two-tier fleet solve: a deliberately starved fused config leaves
+    MAX_ITER stragglers; make_escalated_solver re-dispatches exactly those
+    lanes to the full-rho-grid fallback and the merged batch converges
+    (VERDICT r1 item 7: kill the non-converged tail)."""
+    from automationlabsmodelpredictivecontrol_jl_tpu.ops.admm import AdmmConfig
+
+    sys = qtp.linearized_discrete_system()
+    starved = mpc.proceed_controller(
+        sys, "model_predictive_control", 10, 5.0,
+        np.full(4, 0.65), np.full(2, 1.2),
+        admm_config=AdmmConfig(max_iter=30, rho=100.0, rho_grid=(100.0,)),
+    )
+    x0s = _x0_batch(32, seed=7)
+    _, _, _, diag0 = parallel.solve_batch_fused(starved, x0s)
+    assert int(diag0.n_max_iter) > 0, "config must actually starve some lanes"
+
+    esc = parallel.make_escalated_solver(starved)
+    sol, wz, wy, diag = esc(x0s)
+    assert int(diag.n_converged) == 32
+    assert int(diag.n_max_iter) == 0
+    # escalated lanes agree with a full fallback-controller solve
+    fb = parallel.escalation_controller(starved)
+    sol_fb, _, _, _ = parallel.solve_batch(fb, x0s)
+    np.testing.assert_allclose(np.asarray(sol.u), np.asarray(sol_fb.u), atol=5e-4)
+
+
+def test_escalated_solver_noop_when_converged(controller):
+    """No stragglers -> the fast-pass result is returned unchanged."""
+    x0s = _x0_batch(8, seed=8)
+    esc = parallel.make_escalated_solver(controller)
+    sol, _, _, diag = esc(x0s)
+    sol_f, _, _, diag_f = parallel.solve_batch_fused(controller, x0s)
+    # (atol: the solver's own jit and the test's separately-jitted call can
+    # fuse differently at f32)
+    np.testing.assert_allclose(np.asarray(sol.u), np.asarray(sol_f.u), atol=1e-5)
+    assert int(diag.n_converged) == int(diag_f.n_converged) == 8
+
+
+def test_roofline_model_sanity(controller):
+    """Roofline accounting: analytic flops/bytes model is positive, padded
+    >= useful, and sol_fraction scales inversely with measured time."""
+    from automationlabsmodelpredictivecontrol_jl_tpu.utils import roofline
+
+    op = controller.engine.op
+    cfg = controller.engine.config
+    it = roofline.admm_iteration_model(
+        int(op.K_invs.shape[1]), int(op.A_s.shape[0]), int(op.rho_grid.shape[0])
+    )
+    assert it["padded_flops"] >= it["useful_flops"] > 0
+    r1 = roofline.speed_of_light(op, cfg, 256, 50.0, 0.1)
+    r2 = roofline.speed_of_light(op, cfg, 256, 50.0, 0.2)
+    assert r1["sol_fraction"] == pytest.approx(2 * r2["sol_fraction"])
+    assert r1["bound"] in ("mxu", "hbm")
+    assert r1["mfu"] > 0
+
+
+def test_escalated_native_tier():
+    """Tier 3: when even the fallback engine stalls, stragglers cross to
+    the host f64 native oracle and come back converged."""
+    from automationlabsmodelpredictivecontrol_jl_tpu.ops.admm import AdmmConfig
+
+    sys = qtp.linearized_discrete_system()
+    starved = mpc.proceed_controller(
+        sys, "model_predictive_control", 10, 5.0,
+        np.full(4, 0.65), np.full(2, 1.2),
+        admm_config=AdmmConfig(max_iter=30, rho=100.0, rho_grid=(100.0,)),
+    )
+    x0s = _x0_batch(16, seed=9)
+    # fallback == the starved controller itself: tier 2 cannot converge, so
+    # every straggler must ride the native tier
+    esc = parallel.make_escalated_solver(starved, fallback=starved)
+    sol, wz, wy, diag = esc(x0s)
+    assert int(diag.n_converged) == 16
+    # native-tier lanes agree with the full-grid jax engine
+    fb = parallel.escalation_controller(starved)
+    sol_fb, _, _, _ = parallel.solve_batch(fb, x0s)
+    np.testing.assert_allclose(np.asarray(sol.u), np.asarray(sol_fb.u), atol=1e-3)
