@@ -44,6 +44,11 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_double, dp, dp, ip, dp, dp,
     ]
+    lib.qpref_solve_ipm.restype = ctypes.c_int
+    lib.qpref_solve_ipm.argtypes = [
+        ctypes.c_int, ctypes.c_int, dp, dp, dp, dp, dp,
+        ctypes.c_int, ctypes.c_double, dp, dp, ip, dp, dp,
+    ]
     lib.qpref_solve_batch.restype = ctypes.c_int
     lib.qpref_solve_batch.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, dp, dp, dp, dp, dp,
@@ -115,6 +120,41 @@ def solve_qp(
         _dp(z), _dp(y), ctypes.byref(iters), ctypes.byref(rp), ctypes.byref(rd),
     )
     return z, y, int(status), int(iters.value), float(rp.value), float(rd.value)
+
+
+def solve_qp_ipm(
+    P: np.ndarray,
+    q: np.ndarray,
+    A: np.ndarray,
+    l: np.ndarray,
+    u: np.ndarray,
+    max_iter: int = 100,
+    tol: float = 1e-9,
+    x0: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, int, int, float, float]:
+    """Dense Mehrotra predictor-corrector IPM (second-order): the node
+    engine of the B&B searches, exposed for tests/direct use. Same problem
+    form and status codes as :func:`solve_qp`; ~10-30 Newton iterations
+    where the first-order ADMM needs thousands."""
+    lib = _load()
+    P = np.ascontiguousarray(P, np.float64)
+    q = np.ascontiguousarray(q, np.float64)
+    A = np.ascontiguousarray(A, np.float64)
+    l = np.ascontiguousarray(l, np.float64)
+    u = np.ascontiguousarray(u, np.float64)
+    n = P.shape[0]
+    m = A.shape[0]
+    x = np.zeros(n) if x0 is None else np.ascontiguousarray(x0, np.float64).copy()
+    y = np.zeros(m)
+    iters = ctypes.c_int(0)
+    rp = ctypes.c_double(0.0)
+    rd = ctypes.c_double(0.0)
+    status = lib.qpref_solve_ipm(
+        n, m, _dp(P), _dp(q), _dp(A), _dp(l), _dp(u),
+        max_iter, tol,
+        _dp(x), _dp(y), ctypes.byref(iters), ctypes.byref(rp), ctypes.byref(rd),
+    )
+    return x, y, int(status), int(iters.value), float(rp.value), float(rd.value)
 
 
 MIQP_OPTIMAL = 0

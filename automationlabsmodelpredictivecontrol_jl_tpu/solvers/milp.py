@@ -267,7 +267,15 @@ class MilpEngine:
     U_hi: np.ndarray
     big_m: float
     max_nodes: int = 100000
-    max_iter: int = 6000
+    # per-node budget: nodes are solved by the native IPM (~15 Newton
+    # steps); this is the ADMM *fallback* budget, used only to certify
+    # infeasible/stalled nodes (further capped at 5000 inside the C++ tree)
+    max_iter: int = 20000
+    # root OBBT passes (0 disables): each free pre-activation is min/max-ed
+    # over the relaxation via the IPM to pin neurons and steepen triangle
+    # slopes before the search — the propagator SCIP applies to the
+    # reference's big-M rows
+    obbt_passes: int = 2
     # node-relaxation tolerance: 1e-6 keeps per-node ADMM cheap; the
     # incumbent is always re-solved phase-pinned, so exactness of the
     # returned trajectory doesn't hinge on node accuracy
@@ -360,11 +368,15 @@ def build_engine(
     U_lo, U_hi = _np64(system.U.lo), _np64(system.U.hi)
     if x0_box is not None:
         x0_lo, x0_hi = _np64(x0_box[0]), _np64(x0_box[1])
-    elif tuning.state_constraint:
-        x0_lo, x0_hi = X_lo, X_hi
     else:
-        x0_lo = np.full(nx, -big_m)
-        x0_hi = np.full(nx, big_m)
+        # seed the design-time propagation from the plant's state box even
+        # when state constraints are off: ±big_m seeds blow the interval
+        # bounds through trained-scale weights into useless relaxations
+        # (B&B then stalls on its z=0 incumbent). Sound because solve_milp
+        # gates every solve on x0 ∈ design box and rebuilds from the
+        # widened box on excursion.
+        x0_lo = np.where(np.isfinite(X_lo), X_lo, -big_m)
+        x0_hi = np.where(np.isfinite(X_hi), X_hi, big_m)
 
     prop_args = {
         "N": N, "tr": tr, "out": out, "U_lo": U_lo, "U_hi": U_hi,
@@ -589,8 +601,8 @@ def build_engine(
 
 
 def _rollout_incumbent(
-    e: "MilpEngine", x0: np.ndarray, us: np.ndarray, l: np.ndarray,
-    u: np.ndarray,
+    e: "MilpEngine", x0: np.ndarray, us: np.ndarray, A: np.ndarray,
+    l: np.ndarray, u: np.ndarray,
 ) -> Optional[np.ndarray]:
     """Dive heuristic: roll the TRUE network from x0 under the warm input
     trajectory ``us`` (N, nu), capturing every relu output. The resulting
@@ -611,7 +623,7 @@ def _rollout_incumbent(
             v = np.concatenate([v, np.maximum(a, 0.0)])
         z[N * nu + k * n_r : N * nu + (k + 1) * n_r] = v[nx + nu :]
         xk = e.out.M @ v[: e.out.M.shape[1]] + e.out.c
-    rows = e.A @ z
+    rows = A @ z
     tol = 1e-9 * (1.0 + np.abs(rows))
     lo_ok = ~np.isfinite(l) | (rows >= l - tol)
     hi_ok = ~np.isfinite(u) | (rows <= u + tol)
@@ -624,7 +636,11 @@ def solve_milp(engine: MilpEngine, tuning, x0: np.ndarray):
     Per solve: forward interval propagation from the *measured* x0
     re-classifies every design-unstable neuron instance — solve-stable ones
     get their rows pinned and never enter the search."""
+    import time as _time
+
     import jax.numpy as jnp
+
+    _t0 = _time.time()
 
     from .. import native_qp
     from ..types import (
@@ -678,18 +694,67 @@ def solve_milp(engine: MilpEngine, tuning, x0: np.ndarray):
         lo, hi = sb[e.inst_step[i]][e.inst_unit[i]]
         lo_a[i] = lo[e.inst_elem[i]]
         hi_a[i] = hi[e.inst_elem[i]]
-    on = lo_a >= 0.0
-    off = hi_a <= 0.0
-    free = ~(on | off)
-    # re-derive a-row / r-box bounds for ALL design-unstable instances from
-    # the solve-time intervals (overrides the design-time l/u + shift);
-    # row value = a - bias, so bounds are [lo_a - bias, hi_a - bias]
-    ge, ar, rb = e.row_ge, e.row_a, e.row_rbox
-    l[ar] = lo_a - bias
-    u[ar] = hi_a - bias
-    u[rb] = np.where(off, 0.0, np.maximum(hi_a, 0.0))
-    l[ge[on]] = bias[on]
-    u[ge[on]] = bias[on]
+    ge, ar, rb, tri = e.row_ge, e.row_a, e.row_rbox, e.row_tri
+    A_s = np.array(e.A)  # per-solve copy: triangle slopes are bound-dependent
+
+    def apply_bounds(lo_a, hi_a):
+        """Re-derive all instance rows from the current [lo_a, hi_a]:
+        a-row / r-box bounds, ON pins, and — unlike the design-time rows —
+        the triangle-relaxation COEFFICIENTS, whose slope hi/(hi-lo) bakes
+        the interval in. Solve-time intervals from the measured x0 are far
+        tighter than the design box, so refreshing the slope (not just the
+        row bounds) is what makes the root relaxation bite."""
+        on = lo_a >= 0.0
+        off = hi_a <= 0.0
+        free = ~(on | off)
+        l[ar] = lo_a - bias
+        u[ar] = hi_a - bias
+        u[rb] = np.where(off, 0.0, np.maximum(hi_a, 0.0))
+        l[ge[on]] = bias[on]
+        u[ge[on]] = bias[on]
+        # pinned instances are exact (r=a or r=0): their triangle row is
+        # redundant — relax it so a stale design slope can't cut anything
+        u[tri[~free]] = np.inf
+        fi = np.nonzero(free)[0]
+        if fi.size:
+            s = hi_a[fi] / np.maximum(hi_a[fi] - lo_a[fi], 1e-12)
+            A_s[tri[fi], :] = -s[:, None] * e.A[ar[fi], :]
+            A_s[tri[fi], e.col_r[fi]] += 1.0
+            u[tri[fi]] = s * (bias[fi] - lo_a[fi])
+            l[tri[fi]] = -np.inf
+        return on, off, free
+
+    on, off, free = apply_bounds(lo_a, hi_a)
+
+    # optimization-based bound tightening (OBBT) at the root: min/max each
+    # free pre-activation over the current relaxation via the native IPM
+    # (~ms per LP). Tighter [lo, hi] pin neurons outright and steepen the
+    # triangle slopes, collapsing the tree the way SCIP's OBBT propagator
+    # does for the reference's big-M encoding.
+    for _pass in range(e.obbt_passes):
+        fi = np.nonzero(free)[0]
+        if fi.size == 0:
+            break
+        changed = False
+        for i in fi:
+            c_row = e.A[ar[i]]
+            for sign in (1.0, -1.0):
+                x_o, _, st_o, _, _, _ = native_qp.solve_qp_ipm(
+                    1e-9 * np.eye(e.n), sign * c_row, A_s, l, u, tol=1e-8
+                )
+                if st_o != 0:
+                    continue
+                val = float(c_row @ x_o) + bias[i]
+                if sign > 0 and val - 1e-6 > lo_a[i]:
+                    lo_a[i] = val - 1e-6
+                    changed = True
+                elif sign < 0 and val + 1e-6 < hi_a[i]:
+                    hi_a[i] = val + 1e-6
+                    changed = True
+        if not changed:
+            break
+        on, off, free = apply_bounds(lo_a, hi_a)
+
     if np.any(lo_a > hi_a):
         # solve-time reachability collapsed: no trajectory can satisfy the
         # state box from this x0
@@ -705,17 +770,20 @@ def solve_milp(engine: MilpEngine, tuning, x0: np.ndarray):
         )
 
     idx = np.nonzero(free)[0].astype(np.int32)
-    z_init = _rollout_incumbent(e, x0, np.clip(uref.T, e.U_lo, e.U_hi), l, u)
+    z_init = _rollout_incumbent(
+        e, x0, np.clip(uref.T, e.U_lo, e.U_hi), A_s, l, u
+    )
     z, y, st, nodes, obj = native_qp.solve_relu_bb(
-        e.P, q, e.A, l, u,
+        e.P, q, A_s, l, u,
         ge[idx], ar[idx], rb[idx], e.col_r[idx],
         lo_a[idx], hi_a[idx], bias[idx],
         max_iter=e.max_iter, eps_abs=e.eps, eps_rel=e.eps,
         max_nodes=e.max_nodes, phase_tol=e.phase_tol,
         # the reference stores mpc_max_time but never forwards it
         # (solver_selection.jl:95 "to do the right options"); here the B&B
-        # honors it as a wall-clock budget, like SCIP's limits/time
-        time_limit=float(tuning.max_time),
+        # honors it as a wall-clock budget, like SCIP's limits/time —
+        # net of the time the root OBBT already spent
+        time_limit=max(1.0, float(tuning.max_time) - (_time.time() - _t0)),
         z_init=z_init,
     )
     if st == native_qp.MIQP_NODE_LIMIT and obj >= 1e299:

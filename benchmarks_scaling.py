@@ -1,0 +1,123 @@
+"""Virtual-mesh weak-scaling harness (BASELINE ≥0.8 scaling efficiency).
+
+The reference has no parallelism of any kind (SURVEY.md §2.10); multi-device
+scaling is new TPU-native surface. Real multi-chip hardware isn't available
+in this environment, so this harness measures the *sharded program's* weak
+scaling on a virtual 8-device CPU mesh (``xla_force_host_platform_device_count``):
+per-device work is held fixed (the same x0 block replicated to every device),
+the scenario axis is sharded via ``shard_map``, and diagnostics ride psum
+collectives — the exact program the driver's ``dryrun_multichip`` validates
+and that a real pod slice would run over ICI.
+
+Efficiency(n) = throughput(n) / (n · throughput(1)). On a virtual CPU mesh
+the "devices" share host cores, so the number reported is a *lower bound*
+on ICI efficiency: it includes every sharding/collective overhead plus core
+contention that real chips would not have.
+
+Must run in its own process (device-count flags are read at backend init):
+``python benchmarks_scaling.py [out.json]``. benchmarks_suite.py invokes it
+via subprocess and merges the rows into BENCH_SUITE.json.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import json  # noqa: E402
+import sys  # noqa: E402
+import time  # noqa: E402
+
+import jax  # noqa: E402
+
+# sitecustomize may force a TPU plugin pre-import (see tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+import automationlabsmodelpredictivecontrol_jl_tpu as mpc  # noqa: E402
+from automationlabsmodelpredictivecontrol_jl_tpu import parallel  # noqa: E402
+from automationlabsmodelpredictivecontrol_jl_tpu.benchmarks import qtp  # noqa: E402
+from automationlabsmodelpredictivecontrol_jl_tpu.ops.admm import AdmmConfig  # noqa: E402
+
+PER_DEVICE_BATCH = 512
+HORIZON = 20
+REPS = 3
+
+
+def _timeit(fn, reps=REPS):
+    out = fn()
+    jax.block_until_ready(out)  # compile + warm
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def main(out_path="BENCH_SCALING.json"):
+    rng = np.random.default_rng(0)
+    controller = mpc.proceed_controller(
+        qtp.linearized_discrete_system(),
+        "model_predictive_control",
+        HORIZON,
+        qtp.SAMPLE_TIME,
+        np.full(4, 0.65, np.float32),
+        np.full(2, 1.2, np.float32),
+        # fixed-budget, single-rho config: every lane does identical work, so
+        # throughput differences between mesh sizes isolate sharding overhead
+        admm_config=AdmmConfig(max_iter=200, adaptive=False, rho_grid=(10.0,)),
+    )
+    block = np.clip(
+        0.65 + 0.15 * rng.standard_normal((PER_DEVICE_BATCH, 4)), 0.25, 1.3
+    ).astype(np.float32)
+
+    rows = []
+    base_tput = None
+    for n_dev in (1, 2, 4, 8):
+        mesh = parallel.make_mesh(n_dev)
+        B = PER_DEVICE_BATCH * n_dev
+        # identical per-device work: the same x0 block on every device
+        x0s = jnp.asarray(np.tile(block, (n_dev, 1)))
+        wz, wy = parallel.init_warm_batch(controller, B)
+        solve = jax.jit(
+            lambda x, z, y, m=mesh: parallel.solve_sharded(
+                controller, x, m, z, y
+            )
+        )
+        dt, (sol, _, _, diag) = _timeit(lambda: solve(x0s, wz, wy))
+        tput = B / dt
+        if base_tput is None:
+            base_tput = tput
+        eff = tput / (n_dev * base_tput)
+        rows.append(
+            {
+                "metric": f"weak_scaling_virtual_mesh_{n_dev}dev",
+                "value": round(tput, 1),
+                "unit": "solves/s",
+                "extras": {
+                    "devices": n_dev,
+                    "per_device_batch": PER_DEVICE_BATCH,
+                    "horizon": HORIZON,
+                    "scaling_efficiency": round(eff, 3),
+                    "converged_fraction": round(int(diag.n_converged) / B, 4),
+                    "mesh_backend": "cpu-virtual",
+                },
+            }
+        )
+        print(json.dumps(rows[-1]))
+
+    with open(out_path, "w") as f:
+        json.dump(rows, f, indent=1)
+    return rows
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])

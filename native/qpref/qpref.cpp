@@ -434,6 +434,326 @@ int qpref_solve(int n, int m, const double* P_in, const double* q_in,
 // returned), 2 no integer-feasible point found.
 // ---------------------------------------------------------------------------
 
+// ---------------------------------------------------------------------------
+// Dense Mehrotra predictor-corrector interior-point QP solver.
+//
+//   minimize   0.5 x'Px + q'x
+//   subject to l <= A x <= u   (rows with finite l == u are equalities)
+//
+// Second-order node engine for the branch-and-bound searches below: a node
+// relaxation that costs the ADMM engine tens of thousands of first-order
+// iterations converges here in ~10-30 Newton steps (one n*n Cholesky each),
+// so the tree closes its gap inside the reference's mpc_max_time budget.
+// The ADMM engine stays as the fallback — it carries the infeasibility
+// certificates (IPM detects infeasibility only heuristically).
+// ---------------------------------------------------------------------------
+int qpref_solve_ipm(int n, int m, const double* P, const double* q,
+                    const double* A, const double* l, const double* u,
+                    int max_iter, double tol, double* x_out, double* y_out,
+                    int* iters, double* rprim, double* rdual) {
+  const double kInf = std::numeric_limits<double>::infinity();
+  // row classification
+  std::vector<int> eq, ineq;
+  std::vector<int> hasL, hasU;  // per ineq row
+  for (int r = 0; r < m; ++r) {
+    const bool fl = std::isfinite(l[r]), fu = std::isfinite(u[r]);
+    if (fl && fu && l[r] == u[r]) {
+      eq.push_back(r);
+    } else if (fl || fu) {
+      ineq.push_back(r);
+      hasL.push_back(fl ? 1 : 0);
+      hasU.push_back(fu ? 1 : 0);
+    }
+  }
+  const int me = static_cast<int>(eq.size());
+  const int mi = static_cast<int>(ineq.size());
+  int mc = 0;  // complementarity pairs
+  for (int k = 0; k < mi; ++k) mc += hasL[k] + hasU[k];
+  if (mc == 0 && me == 0) {
+    // unconstrained QP: one Newton solve
+    std::vector<double> H(P, P + static_cast<size_t>(n) * n), rhs(q, q + n);
+    for (int j = 0; j < n; ++j) {
+      H[j * n + j] += 1e-10;
+      rhs[j] = -rhs[j];
+    }
+    if (lu_solve(H, rhs, n) != 0) return QPREF_MAX_ITER;
+    std::memcpy(x_out, rhs.data(), sizeof(double) * n);
+    std::fill(y_out, y_out + m, 0.0);
+    *iters = 1;
+    *rprim = 0.0;
+    *rdual = 0.0;
+    return QPREF_CONVERGED;
+  }
+
+  // scale guard for relative tolerances
+  double q_n = 0.0;
+  for (int j = 0; j < n; ++j) q_n = std::max(q_n, std::fabs(q[j]));
+  double b_n = 1.0;
+  for (int r = 0; r < m; ++r) {
+    if (std::isfinite(l[r])) b_n = std::max(b_n, std::fabs(l[r]));
+    if (std::isfinite(u[r])) b_n = std::max(b_n, std::fabs(u[r]));
+  }
+
+  std::vector<double> x(x_out, x_out + n), nu(me, 0.0);
+  std::vector<double> sL(mi, 0.0), zL(mi, 0.0), sU(mi, 0.0), zU(mi, 0.0);
+  std::vector<double> Ax(m);
+  auto matvec_rows = [&](const std::vector<double>& v) {
+    for (int r = 0; r < m; ++r) {
+      double acc = 0.0;
+      for (int j = 0; j < n; ++j) acc += A[static_cast<size_t>(r) * n + j] * v[j];
+      Ax[r] = acc;
+    }
+  };
+  matvec_rows(x);
+  const double s0 = std::max(1.0, 0.1 * b_n);
+  for (int k = 0; k < mi; ++k) {
+    const int r = ineq[k];
+    if (hasL[k]) {
+      sL[k] = std::max(Ax[r] - l[r], s0);
+      zL[k] = s0;
+    }
+    if (hasU[k]) {
+      sU[k] = std::max(u[r] - Ax[r], s0);
+      zU[k] = s0;
+    }
+  }
+
+  std::vector<double> H(static_cast<size_t>(n) * n);
+  std::vector<double> rd(n), re(me), rl(mi), ru(mi);
+  std::vector<double> rhs1(n), hx(n), dx(n), dnu(me);
+  std::vector<double> dsL(mi), dzL(mi), dsU(mi), dzU(mi);
+  std::vector<double> dsL_a(mi), dzL_a(mi), dsU_a(mi), dzU_a(mi);
+  std::vector<double> AeHiAe, Hi_rhs(n), Hi_Ae;
+  std::vector<double> Snu;
+
+  int it = 0;
+  double rp_inf = kInf, rd_inf = kInf, mu = kInf;
+  // every exit path must surface the current iterate (a zero x_out from an
+  // early return would read as a spurious stationary point to callers)
+  auto finish = [&](int status) {
+    std::memcpy(x_out, x.data(), sizeof(double) * n);
+    std::fill(y_out, y_out + m, 0.0);
+    for (int e = 0; e < me; ++e) y_out[eq[e]] = nu[e];
+    for (int k = 0; k < mi; ++k) y_out[ineq[k]] = zU[k] - zL[k];
+    *iters = std::min(it, max_iter);
+    *rprim = rp_inf;
+    *rdual = rd_inf;
+    return status;
+  };
+  for (it = 1; it <= max_iter; ++it) {
+    // residuals
+    matvec_rows(x);
+    rp_inf = 0.0;
+    for (int e = 0; e < me; ++e) {
+      re[e] = Ax[eq[e]] - l[eq[e]];
+      rp_inf = std::max(rp_inf, std::fabs(re[e]));
+    }
+    for (int k = 0; k < mi; ++k) {
+      const int r = ineq[k];
+      if (hasL[k]) {
+        rl[k] = Ax[r] - sL[k] - l[r];
+        rp_inf = std::max(rp_inf, std::fabs(rl[k]));
+      }
+      if (hasU[k]) {
+        ru[k] = Ax[r] + sU[k] - u[r];
+        rp_inf = std::max(rp_inf, std::fabs(ru[k]));
+      }
+    }
+    rd_inf = 0.0;
+    for (int j = 0; j < n; ++j) {
+      double g = q[j];
+      for (int k2 = 0; k2 < n; ++k2) g += P[j * n + k2] * x[k2];
+      for (int e = 0; e < me; ++e)
+        g += A[static_cast<size_t>(eq[e]) * n + j] * nu[e];
+      for (int k = 0; k < mi; ++k)
+        g += A[static_cast<size_t>(ineq[k]) * n + j] * (zU[k] - zL[k]);
+      rd[j] = g;
+      rd_inf = std::max(rd_inf, std::fabs(g));
+    }
+    double gap = 0.0;
+    for (int k = 0; k < mi; ++k) gap += sL[k] * zL[k] + sU[k] * zU[k];
+    mu = mc > 0 ? gap / mc : 0.0;
+
+    const double eps_p = tol * (1.0 + b_n);
+    const double eps_d = tol * (1.0 + q_n);
+    if (rp_inf <= eps_p && rd_inf <= eps_d && mu <= tol * (1.0 + q_n)) break;
+    // divergence heuristic (infeasible / unbounded node): duals blowing up
+    // while the primal residual refuses to close
+    double z_n = 0.0;
+    for (int k = 0; k < mi; ++k) z_n = std::max({z_n, zL[k], zU[k]});
+    for (int e = 0; e < me; ++e) z_n = std::max(z_n, std::fabs(nu[e]));
+    if (z_n > 1e12 && rp_inf > eps_p) {
+      return finish(QPREF_MAX_ITER);
+    }
+
+    // H = P + Ai' W Ai + delta I, one factorization per iteration
+    std::memcpy(H.data(), P, sizeof(double) * n * n);
+    for (int k = 0; k < mi; ++k) {
+      double w = 0.0;
+      // clamp slacks away from underflow so W stays finite near convergence
+      if (hasL[k]) w += zL[k] / std::max(sL[k], 1e-14);
+      if (hasU[k]) w += zU[k] / std::max(sU[k], 1e-14);
+      w = std::min(w, 1e14);
+      if (w == 0.0) continue;
+      const double* ar = A + static_cast<size_t>(ineq[k]) * n;
+      for (int i = 0; i < n; ++i) {
+        if (ar[i] == 0.0) continue;
+        const double wai = w * ar[i];
+        for (int j = 0; j < n; ++j) H[i * n + j] += wai * ar[j];
+      }
+    }
+    double reg = 1e-9;
+    std::vector<double> Hf;
+    for (int attempt = 0; attempt < 4; ++attempt) {
+      Hf = H;
+      for (int j = 0; j < n; ++j) Hf[j * n + j] += reg;
+      if (cholesky(Hf, n) == 0) break;
+      reg *= 1e3;
+      if (attempt == 3) return finish(QPREF_MAX_ITER);
+    }
+    // Schur complement over the equality block: S = Ae H^-1 Ae' + delta I
+    if (me > 0) {
+      Hi_Ae.assign(static_cast<size_t>(me) * n, 0.0);
+      for (int e = 0; e < me; ++e) {
+        double* col = Hi_Ae.data() + static_cast<size_t>(e) * n;
+        const double* ar = A + static_cast<size_t>(eq[e]) * n;
+        std::memcpy(col, ar, sizeof(double) * n);
+        chol_solve(Hf, n, col);
+      }
+      Snu.assign(static_cast<size_t>(me) * me, 0.0);
+      for (int e = 0; e < me; ++e)
+        for (int f = 0; f <= e; ++f) {
+          double s = 0.0;
+          const double* arf = A + static_cast<size_t>(eq[f]) * n;
+          const double* he = Hi_Ae.data() + static_cast<size_t>(e) * n;
+          for (int j = 0; j < n; ++j) s += arf[j] * he[j];
+          Snu[e * me + f] = s;
+          Snu[f * me + e] = s;
+        }
+      for (int e = 0; e < me; ++e) Snu[e * me + e] += 1e-10;
+      if (cholesky(Snu, me) != 0) return finish(QPREF_MAX_ITER);
+    }
+
+    // one Newton solve of the reduced system for a given complementarity
+    // target rc* (predictor: rc = -s.z; corrector adds sigma*mu - ds.dz)
+    auto newton = [&](const std::vector<double>& rcL,
+                      const std::vector<double>& rcU) {
+      for (int j = 0; j < n; ++j) rhs1[j] = -rd[j];
+      for (int k = 0; k < mi; ++k) {
+        const int r = ineq[k];
+        double t = 0.0;
+        if (hasU[k]) t += (rcU[k] + zU[k] * ru[k]) / sU[k];
+        if (hasL[k]) t -= (rcL[k] - zL[k] * rl[k]) / sL[k];
+        if (t == 0.0) continue;
+        const double* ar = A + static_cast<size_t>(r) * n;
+        for (int j = 0; j < n; ++j) rhs1[j] -= ar[j] * t;
+      }
+      if (me == 0) {
+        dx = rhs1;
+        chol_solve(Hf, n, dx.data());
+      } else {
+        Hi_rhs = rhs1;
+        chol_solve(Hf, n, Hi_rhs.data());
+        for (int e = 0; e < me; ++e) {
+          double s = re[e];
+          const double* ar = A + static_cast<size_t>(eq[e]) * n;
+          for (int j = 0; j < n; ++j) s += ar[j] * Hi_rhs[j];
+          dnu[e] = s;
+        }
+        chol_solve(Snu, me, dnu.data());
+        dx = rhs1;
+        for (int e = 0; e < me; ++e) {
+          const double* ar = A + static_cast<size_t>(eq[e]) * n;
+          for (int j = 0; j < n; ++j) dx[j] -= ar[j] * dnu[e];
+        }
+        chol_solve(Hf, n, dx.data());
+      }
+      for (int k = 0; k < mi; ++k) {
+        const int r = ineq[k];
+        double adx = 0.0;
+        const double* ar = A + static_cast<size_t>(r) * n;
+        for (int j = 0; j < n; ++j) adx += ar[j] * dx[j];
+        if (hasL[k]) {
+          dsL[k] = adx + rl[k];
+          dzL[k] = (rcL[k] - zL[k] * dsL[k]) / sL[k];
+        }
+        if (hasU[k]) {
+          dsU[k] = -adx - ru[k];
+          dzU[k] = (rcU[k] - zU[k] * dsU[k]) / sU[k];
+        }
+      }
+    };
+
+    auto step_len = [&](double frac) {
+      double ap = 1.0, ad = 1.0;
+      for (int k = 0; k < mi; ++k) {
+        if (hasL[k]) {
+          if (dsL[k] < 0.0) ap = std::min(ap, -frac * sL[k] / dsL[k]);
+          if (dzL[k] < 0.0) ad = std::min(ad, -frac * zL[k] / dzL[k]);
+        }
+        if (hasU[k]) {
+          if (dsU[k] < 0.0) ap = std::min(ap, -frac * sU[k] / dsU[k]);
+          if (dzU[k] < 0.0) ad = std::min(ad, -frac * zU[k] / dzU[k]);
+        }
+      }
+      return std::make_pair(ap, ad);
+    };
+
+    // predictor (affine) step
+    std::vector<double> rcL(mi, 0.0), rcU(mi, 0.0);
+    for (int k = 0; k < mi; ++k) {
+      if (hasL[k]) rcL[k] = -sL[k] * zL[k];
+      if (hasU[k]) rcU[k] = -sU[k] * zU[k];
+    }
+    newton(rcL, rcU);
+    dsL_a = dsL;
+    dzL_a = dzL;
+    dsU_a = dsU;
+    dzU_a = dzU;
+    auto [ap_a, ad_a] = step_len(1.0);
+    double gap_aff = 0.0;
+    for (int k = 0; k < mi; ++k) {
+      if (hasL[k])
+        gap_aff += (sL[k] + ap_a * dsL_a[k]) * (zL[k] + ad_a * dzL_a[k]);
+      if (hasU[k])
+        gap_aff += (sU[k] + ap_a * dsU_a[k]) * (zU[k] + ad_a * dzU_a[k]);
+    }
+    const double mu_aff = mc > 0 ? gap_aff / mc : 0.0;
+    const double ratio = mu > 1e-300 ? mu_aff / mu : 0.0;
+    const double sigma_c = clamp(ratio * ratio * ratio, 1e-8, 1.0 - 1e-8);
+
+    // corrector step (same factorization)
+    for (int k = 0; k < mi; ++k) {
+      if (hasL[k]) rcL[k] = -sL[k] * zL[k] + sigma_c * mu - dsL_a[k] * dzL_a[k];
+      if (hasU[k]) rcU[k] = -sU[k] * zU[k] + sigma_c * mu - dsU_a[k] * dzU_a[k];
+    }
+    newton(rcL, rcU);
+    auto [ap, ad] = step_len(0.995);
+
+    for (int j = 0; j < n; ++j) x[j] += ap * dx[j];
+    for (int e = 0; e < me; ++e) nu[e] += ad * dnu[e];
+    for (int k = 0; k < mi; ++k) {
+      if (hasL[k]) {
+        sL[k] += ap * dsL[k];
+        zL[k] += ad * dzL[k];
+      }
+      if (hasU[k]) {
+        sU[k] += ap * dsU[k];
+        zU[k] += ad * dzU[k];
+      }
+    }
+    // stalled steps: complementarity can't move — bail to the fallback
+    if (ap < 1e-10 && ad < 1e-10) {
+      ++it;
+      break;
+    }
+  }
+
+  const bool ok = rp_inf <= tol * (1.0 + b_n) && rd_inf <= tol * (1.0 + q_n) &&
+                  mu <= tol * (1.0 + q_n);
+  return finish(ok ? QPREF_CONVERGED : QPREF_MAX_ITER);
+}
+
 namespace {
 
 double qp_objective(int n, const double* P, const double* q, const double* z) {
@@ -444,6 +764,34 @@ double qp_objective(int n, const double* P, const double* q, const double* z) {
     obj += z[i] * (0.5 * pz + q[i]);
   }
   return obj;
+}
+
+// Node relaxation solve for the branch-and-bound searches: IPM first
+// (second-order, ~20 Newton steps), ADMM fallback when the IPM stalls or
+// suspects infeasibility (the ADMM engine carries rigorous primal/dual
+// infeasibility certificates the tree needs for sound pruning).
+int solve_node(int n, int m, const double* P, const double* q,
+               const double* A, const double* l, const double* u,
+               int max_iter, double eps_abs, double eps_rel, double rho0,
+               double sigma, double alpha, double ipm_tol,
+               std::vector<double>& zn, std::vector<double>& yn, int* iters,
+               double* rp, double* rd) {
+  std::vector<double> zi = zn, yi = yn;
+  int st = qpref_solve_ipm(n, m, P, q, A, l, u, 100, ipm_tol, zi.data(),
+                           yi.data(), iters, rp, rd);
+  if (st == QPREF_CONVERGED) {
+    zn = zi;
+    yn = yi;
+    return st;
+  }
+  // fallback exists to *certify* (infeasibility, or the rare IPM stall):
+  // certificates fire within a few thousand first-order iterations, so cap
+  // the budget — an uncapped fallback can burn tens of seconds on a single
+  // infeasible node while costing the tree its whole time limit
+  const int fb_iter = std::min(max_iter, 5000);
+  st = qpref_solve(n, m, P, q, A, l, u, fb_iter, eps_abs, eps_rel, rho0,
+                   sigma, alpha, zn.data(), yn.data(), iters, rp, rd);
+  return st;
 }
 
 }  // namespace
@@ -503,9 +851,9 @@ int qpref_solve_miqp(int n, int m, const double* P, const double* q,
     int iters = 0;
     double rp = 0.0, rd = 0.0;
     // warm start from the last solved node (DFS locality)
-    const int st = qpref_solve(n, m, P, q, A, l.data(), u.data(), max_iter,
-                               eps_abs, eps_rel, rho0, sigma, alpha, zn.data(),
-                               yn.data(), &iters, &rp, &rd);
+    const int st = solve_node(n, m, P, q, A, l.data(), u.data(), max_iter,
+                              eps_abs, eps_rel, rho0, sigma, alpha, 1e-8, zn,
+                              yn, &iters, &rp, &rd);
     if (std::getenv("QPREF_DEBUG")) {
       std::fprintf(stderr, "[miqp] node %d st %d it %d rp %.2e obj %.6f\n",
                    nodes, st, iters, rp,
@@ -550,10 +898,9 @@ int qpref_solve_miqp(int n, int m, const double* P, const double* q,
       }
       int it2 = 0;
       double rp2 = 0.0, rd2 = 0.0;
-      const int st2 = qpref_solve(n, m, P, q, A, lf.data(), uf.data(),
-                                  max_iter, eps_abs, eps_rel, rho0, sigma,
-                                  alpha, zc.data(), yc.data(), &it2, &rp2,
-                                  &rd2);
+      const int st2 = solve_node(n, m, P, q, A, lf.data(), uf.data(),
+                                 max_iter, eps_abs, eps_rel, rho0, sigma,
+                                 alpha, 1e-8, zc, yc, &it2, &rp2, &rd2);
       if (st2 == QPREF_CONVERGED ||
           (st2 == QPREF_MAX_ITER && rp2 <= 1e-6)) {
         const double obj_c = qp_objective(n, P, q, zc.data());
@@ -712,10 +1059,9 @@ int qpref_solve_relu_bb(int n, int m, const double* P, const double* q,
     std::vector<double> zc = zn, yc = yn;
     int it2 = 0;
     double rp2 = 0.0, rd2 = 0.0;
-    const int st2 = qpref_solve(n, m, P, q, A, lf.data(), uf.data(),
-                                max_iter, eps_abs, eps_rel, rho0, sigma,
-                                alpha, zc.data(), yc.data(), &it2, &rp2,
-                                &rd2);
+    const int st2 = solve_node(n, m, P, q, A, lf.data(), uf.data(),
+                               max_iter, eps_abs, eps_rel, rho0, sigma,
+                               alpha, 1e-8, zc, yc, &it2, &rp2, &rd2);
     if (st2 == QPREF_CONVERGED || (st2 == QPREF_MAX_ITER && rp2 <= 1e-6)) {
       const double obj_c = qp_objective(n, P, q, zc.data());
       if (!have_incumbent || obj_c < best) {
@@ -741,21 +1087,25 @@ int qpref_solve_relu_bb(int n, int m, const double* P, const double* q,
 
     int iters = 0;
     double rp = 0.0, rd = 0.0;
-    int st = qpref_solve(n, m, P, q, A, l.data(), u.data(), max_iter,
-                         eps_abs, eps_rel, rho0, sigma, alpha, zn.data(),
-                         yn.data(), &iters, &rp, &rd);
+    int st = solve_node(n, m, P, q, A, l.data(), u.data(), max_iter,
+                        eps_abs, eps_rel, rho0, sigma, alpha, 1e-8, zn, yn,
+                        &iters, &rp, &rd);
     if (st == QPREF_MAX_ITER && rp > 1e-2) {
       // suspected stall: retry once, cold-started, with a heavier penalty
-      // and a longer budget before concluding anything
+      // and a deeper (but still capped) budget before concluding anything
       zn.assign(n, 0.0);
       yn.assign(m, 0.0);
-      st = qpref_solve(n, m, P, q, A, l.data(), u.data(), 4 * max_iter,
-                       eps_abs, eps_rel, 10.0 * rho0, sigma, alpha, zn.data(),
-                       yn.data(), &iters, &rp, &rd);
+      st = qpref_solve(n, m, P, q, A, l.data(), u.data(),
+                       std::min(4 * max_iter, 20000), eps_abs, eps_rel,
+                       10.0 * rho0, sigma, alpha, zn.data(), yn.data(),
+                       &iters, &rp, &rd);
     }
     if (debug) {
-      std::fprintf(stderr, "[relu-bb] node %d st %d it %d rp %.2e obj %.6f\n",
-                   nodes, st, iters, rp, qp_objective(n, P, q, zn.data()));
+      const double el = std::chrono::duration<double>(
+          std::chrono::steady_clock::now() - t_start).count();
+      std::fprintf(stderr,
+                   "[relu-bb] node %d st %d it %d rp %.2e obj %.6f t %.3f\n",
+                   nodes, st, iters, rp, qp_objective(n, P, q, zn.data()), el);
     }
     if (st == QPREF_PRIMAL_INFEASIBLE || st == QPREF_DUAL_INFEASIBLE) continue;
     // an unconverged node with a LARGE primal residual after the retry is
