@@ -356,7 +356,11 @@ def _design_controller_impl(
                     "none/equality/contractive terminal kind; use "
                     "engine='condensed' for this configuration"
                 )
-            riccati_config = riccati_config or riccati_ops.RiccatiConfig()
+            # resolve auto rho/grid against the input weight scale so the
+            # engine (and checkpoints) carry concrete values
+            riccati_config = riccati_ops.resolve_config(
+                riccati_config or riccati_ops.RiccatiConfig(), weights.R
+            )
             x_ref0 = np.asarray(references.x[:, 0], np.float64)
             u_ref0 = np.asarray(references.u[:, 0], np.float64)
             if state_constraint:

@@ -55,11 +55,21 @@ def _mm(a, b):
 
 @dataclasses.dataclass(frozen=True)
 class RiccatiConfig:
-    """Knobs for the sparse Riccati-ADMM engine."""
+    """Knobs for the sparse Riccati-ADMM engine.
+
+    ``rho=None`` / ``rho_grid=None`` mean *auto*: resolved at design time
+    against the problem's input weight R (``resolve_config``). Measured on
+    QTP across (Q, R) scales, the iteration-optimal rho tracks
+    ``mean(diag(R))`` within a decade — a fixed default (the old 10.0) is
+    off by 1-2 orders of magnitude whenever R isn't O(10) and costs ~10x
+    the iterations."""
 
     max_iter: int = 2000
-    rho: float = 10.0
-    rho_grid: tuple = (1.0, 10.0, 100.0)
+    rho: Optional[float] = None
+    rho_grid: Optional[tuple] = None
+    # per-lane prefactorized rho adaptation (OSQP §5.2 rule over the grid),
+    # every adapt_interval iterations; 0 disables
+    adapt_interval: int = 50
     check_interval: int = 25
     sigma: float = 1e-6
     eps_abs: float = 1e-5
@@ -146,6 +156,32 @@ def _factorize_one(A, B, Qb, Rb, Qb_term, N):
     )
 
 
+def resolve_config(config: RiccatiConfig, R: Array) -> RiccatiConfig:
+    """Fill in auto (None) rho / rho_grid from the input-weight scale.
+
+    rho0 = mean(diag R): the ADMM splitting regularizes the w-update's
+    input blocks with R + rho I, and the consensus contraction is fastest
+    when the two terms are the same order (measured: 50-75 iterations at
+    rho = R̄ vs ~700 at the old fixed 10.0 on the Q=100/R=0.1 default).
+    The auto grid spans a decade either side for the per-lane adaptation
+    to walk."""
+    rho = config.rho
+    grid = config.rho_grid
+    if rho is None:
+        rho = float(np.mean(np.diag(np.asarray(R, np.float64))))
+        rho = max(rho, 1e-6)
+    if grid is None:
+        grid = (0.1 * rho, rho, 10.0 * rho)
+    return dataclasses.replace(config, rho=float(rho), rho_grid=tuple(grid))
+
+
+def _initial_ridx(op: "RiccatiOperator", config: RiccatiConfig) -> int:
+    """Grid index of the starting rho (middle of the grid when auto)."""
+    if config.rho is None:
+        return len(op.rho_grid) // 2
+    return int(np.argmin(np.abs(np.log(op.rho_grid) - np.log(config.rho))))
+
+
 def build_riccati_operator(
     A: Array,
     B: Array,
@@ -170,6 +206,7 @@ def build_riccati_operator(
         raise ValueError(
             f"riccati engine does not support terminal kind {terminal_kind!r}"
         )
+    config = resolve_config(config, R)
     A64 = np.asarray(A, np.float64)
     B64 = np.asarray(B, np.float64)
     Q64 = np.asarray(Q, np.float64)
@@ -343,10 +380,8 @@ def solve_sparse(
     N, nx, nu = op.N, op.nx, op.nu
     dt = jnp.float32
     grid = jnp.asarray(op.rho_grid, dt)
-    ridx0 = jnp.asarray(
-        int(np.argmin(np.abs(np.log(op.rho_grid) - np.log(config.rho)))),
-        jnp.int32,
-    )
+    log_grid = jnp.log(grid)
+    ridx0 = jnp.asarray(_initial_ridx(op, config), jnp.int32)
     split_x = op.split_interior or op.split_terminal
     ball_r = (
         jnp.sqrt(CONTRACTIVE_FACTOR) * jnp.linalg.norm(e0)
@@ -407,6 +442,20 @@ def solve_sparse(
             rd = jnp.maximum(rho * jnp.max(jnp.abs(vX - vX_prev)), rd)
         return rp, rd
 
+    adapt = int(config.adapt_interval or 0)
+
+    def adapt_rho(ridx, rho, rp_n, rd_n, it, done):
+        """OSQP §5.2 over the prefactorized grid (per lane): rho ←
+        rho·sqrt(rp_n/rd_n), snapped to the nearest grid entry, every
+        adapt_interval iterations."""
+        if len(op.rho_grid) == 1 or not adapt:
+            return ridx
+        ratio = rp_n / jnp.maximum(rd_n, 1e-12)
+        log_t = jnp.log(rho) + 0.5 * jnp.log(jnp.clip(ratio, 1e-8, 1e8))
+        new = jnp.argmin(jnp.abs(log_grid - log_t)).astype(jnp.int32)
+        do = (jnp.mod(it, adapt) < ck) & (~done)
+        return jnp.where(do, new, ridx)
+
     def body(state):
         X, U, vX, vU, lamX, lamU, ridx, it, rp, rd, done, stall = state
         vU_prev = vU
@@ -432,8 +481,22 @@ def solve_sparse(
             | ~finite
             | (stall_new >= config.stall_checks)
         )
+        prim_norm = jnp.maximum(jnp.max(jnp.abs(Un)), jnp.max(jnp.abs(vUn)))
+        dual_norm = jnp.max(jnp.abs(lamUn))
+        if split_x:
+            prim_norm = jnp.maximum(
+                prim_norm,
+                jnp.maximum(jnp.max(jnp.abs(Xn)), jnp.max(jnp.abs(vXn))),
+            )
+            dual_norm = jnp.maximum(dual_norm, jnp.max(jnp.abs(lamXn)))
+        ridx2 = adapt_rho(
+            ridxn, rho,
+            rp_new / jnp.maximum(prim_norm, 1e-6),
+            rd_new / jnp.maximum(dual_norm, 1e-6),
+            it + ck, done_new,
+        )
         return (
-            Xn, Un, vXn, vUn, lamXn, lamUn, ridxn, it + ck, rp_new, rd_new,
+            Xn, Un, vXn, vUn, lamXn, lamUn, ridx2, it + ck, rp_new, rd_new,
             done_new, stall_new,
         )
 

@@ -31,7 +31,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .riccati import RiccatiConfig, RiccatiOperator, rollout_warm, _project_X
+from .riccati import (
+    RiccatiConfig,
+    RiccatiOperator,
+    rollout_warm,
+    _initial_ridx,
+    _project_X,
+)
 from ..types import (
     CONTRACTIVE_FACTOR,
     STATUS_CONVERGED,
@@ -310,10 +316,11 @@ def solve_sparse_fused(
     B = e0s.shape[0]
     f = jnp.float32
     grid = op.rho_grid
-    ridx = int(
-        np.argmin(np.abs(np.log(np.asarray(grid)) - np.log(config.rho)))
-    )
-    rho = jnp.asarray(np.asarray(grid)[ridx], f)
+    R_grid = len(grid)
+    ridx0 = _initial_ridx(op, config)
+    grid_arr = jnp.asarray(np.asarray(grid), f)
+    log_grid = jnp.log(grid_arr)
+    adapt = int(config.adapt_interval or 0)
     ck = max(1, int(config.check_interval))
     split_x = op.split_interior or op.split_terminal
 
@@ -346,7 +353,7 @@ def solve_sparse_fused(
     )(X0, ballr[0][None])
     vU0 = jnp.clip(U0, op.u_lo[:, None], op.u_hi[:, None])
 
-    def residuals(X, U, vX, vU, vX_prev, vU_prev):
+    def residuals(X, U, vX, vU, vX_prev, vU_prev, rho):
         rp = jnp.max(jnp.abs(U - vU), axis=(0, 1))
         rd = rho * jnp.max(jnp.abs(vU - vU_prev), axis=(0, 1))
         if split_x:
@@ -357,14 +364,30 @@ def solve_sparse_fused(
         return rp, rd
 
     def cond(state):
-        it, done = state[7], state[10]
+        it, done = state[8], state[11]
         return (~jnp.all(done)) & (it < config.max_iter)
 
+    # the kernel's rho and its factor slabs are compile-time constants, so
+    # batch-level rho adaptation runs as a lax.switch over one compiled
+    # chunk variant per grid entry (R_grid small; per-lane rho would force
+    # gathering whole factor slabs inside the kernel)
+    def _branch(i):
+        def run(args):
+            vX, vU, lamX, lamU = args
+            return _run_chunk(
+                op, i, e0T, ballr, vX, vU, lamX, lamU, ck, interpret
+            )
+
+        return run
+
+    branches = [_branch(i) for i in range(R_grid)]
+
     def body(state):
-        X, U, vX, vU, lamX, lamU, itl, it, rp, rd, done, stall, bad = state
+        X, U, vX, vU, lamX, lamU, ridx, itl, it, rp, rd, done, stall, bad = state
         vX_prev, vU_prev = vX, vU
-        Xn, Un, vXn, vUn, lamXn, lamUn = _run_chunk(
-            op, ridx, e0T, ballr, vX, vU, lamX, lamU, ck, interpret
+        rho = jnp.take(grid_arr, ridx)
+        Xn, Un, vXn, vUn, lamXn, lamUn = jax.lax.switch(
+            ridx, branches, (vX, vU, lamX, lamU)
         )
         keep = done[None, None, :]
         Xn = jnp.where(keep, X, Xn)
@@ -373,7 +396,7 @@ def solve_sparse_fused(
         vUn = jnp.where(keep, vU, vUn)
         lamXn = jnp.where(keep, lamX, lamXn)
         lamUn = jnp.where(keep, lamU, lamUn)
-        rp2, rd2 = residuals(Xn, Un, vXn, vUn, vX_prev, vU_prev)
+        rp2, rd2 = residuals(Xn, Un, vXn, vUn, vX_prev, vU_prev, rho)
         scale = jnp.maximum(
             jnp.max(jnp.abs(Un), axis=(0, 1)),
             jnp.maximum(jnp.max(jnp.abs(Xn), axis=(0, 1)), 1e-6),
@@ -388,20 +411,55 @@ def solve_sparse_fused(
         conv = (rp2 <= tol) & (rd2 <= tol * rho)
         done2 = done | conv | ~finite | (stall2 >= config.stall_checks)
         itl2 = jnp.where(done, itl, it + ck)
+
+        # batch-level rho adaptation (OSQP §5.2): mean normalized
+        # log-ratio over the still-active lanes picks the next grid entry
+        if R_grid > 1 and adapt:
+            prim_norm = jnp.maximum(
+                jnp.max(jnp.abs(Un), axis=(0, 1)),
+                jnp.max(jnp.abs(vUn), axis=(0, 1)),
+            )
+            dual_norm = jnp.max(jnp.abs(lamUn), axis=(0, 1))
+            if split_x:
+                prim_norm = jnp.maximum(
+                    prim_norm,
+                    jnp.maximum(
+                        jnp.max(jnp.abs(Xn), axis=(0, 1)),
+                        jnp.max(jnp.abs(vXn), axis=(0, 1)),
+                    ),
+                )
+                dual_norm = jnp.maximum(
+                    dual_norm, jnp.max(jnp.abs(lamXn), axis=(0, 1))
+                )
+            ratio = (rp2 / jnp.maximum(prim_norm, 1e-6)) / jnp.maximum(
+                rd2 / jnp.maximum(dual_norm, 1e-6), 1e-12
+            )
+            log_ratio = jnp.log(jnp.clip(ratio, 1e-8, 1e8))
+            active = ~done2
+            n_act = jnp.maximum(jnp.sum(active), 1)
+            mean_lr = jnp.sum(jnp.where(active, log_ratio, 0.0)) / n_act
+            log_t = jnp.log(rho) + 0.5 * mean_lr
+            ridx_t = jnp.argmin(jnp.abs(log_grid - log_t)).astype(jnp.int32)
+            do = (jnp.mod(it + ck, adapt) < ck) & jnp.any(active)
+            ridx2 = jnp.where(do, ridx_t, ridx)
+        else:
+            ridx2 = ridx
         return (
-            Xn, Un, vXn, vUn, lamXn, lamUn, itl2, it + ck, rp2, rd2, done2,
-            stall2, bad2,
+            Xn, Un, vXn, vUn, lamXn, lamUn, ridx2, itl2, it + ck, rp2, rd2,
+            done2, stall2, bad2,
         )
 
     zeros = jnp.zeros((B,), f)
     izeros = jnp.zeros((B,), jnp.int32)
     state = (
-        X0, U0, vX0, vU0, lamX0, lamU0, izeros,
+        X0, U0, vX0, vU0, lamX0, lamU0,
+        jnp.asarray(ridx0, jnp.int32),
+        izeros,
         jnp.asarray(0, jnp.int32),
         zeros + jnp.inf, zeros + jnp.inf,
         zeros > 1.0, izeros, zeros > 1.0,
     )
-    X, U, vX, vU, lamX, lamU, iters, it, rp, rd, done, stall, bad = (
+    X, U, vX, vU, lamX, lamU, ridx, iters, it, rp, rd, done, stall, bad = (
         jax.lax.while_loop(cond, body, state)
     )
 
