@@ -356,11 +356,11 @@ def _design_controller_impl(
                     "none/equality/contractive terminal kind; use "
                     "engine='condensed' for this configuration"
                 )
-            # resolve auto rho/grid against the input weight scale so the
-            # engine (and checkpoints) carry concrete values
-            riccati_config = riccati_ops.resolve_config(
-                riccati_config or riccati_ops.RiccatiConfig(), weights.R
-            )
+            # the ENGINE keeps the user's config (auto rho stays None so
+            # update_references/checkpoints round-trip identically); the
+            # OPERATOR resolves rho/grid against weights.R at build time,
+            # and both solvers start from op.rho_grid via _initial_ridx
+            riccati_config = riccati_config or riccati_ops.RiccatiConfig()
             x_ref0 = np.asarray(references.x[:, 0], np.float64)
             u_ref0 = np.asarray(references.u[:, 0], np.float64)
             if state_constraint:

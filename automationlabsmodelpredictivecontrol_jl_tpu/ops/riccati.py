@@ -67,18 +67,28 @@ class RiccatiConfig:
     max_iter: int = 2000
     rho: Optional[float] = None
     rho_grid: Optional[tuple] = None
-    # per-lane prefactorized rho adaptation (OSQP §5.2 rule over the grid),
-    # every adapt_interval iterations; 0 disables
+    # prefactorized rho adaptation (OSQP §5.2 rule over the grid), every
+    # adapt_interval iterations; 0 disables. The jax engine adapts PER
+    # LANE (vmap); the fused Pallas engine adapts one BATCH-GLOBAL rho
+    # (its factor slabs are compile-time kernel constants), so iteration
+    # counts can diverge between the two on rho-heterogeneous batches.
     adapt_interval: int = 50
     check_interval: int = 25
     sigma: float = 1e-6
     eps_abs: float = 1e-5
     eps_rel: float = 1e-5
-    # infeasibility stall detector: on an infeasible problem consensus-ADMM
-    # duals grow linearly forever while the primal residual converges to the
-    # (nonzero) constraint gap. `stall_checks` consecutive check blocks with
-    # <0.1% relative primal improvement at rp > 10 tol declare
-    # STATUS_PRIMAL_INFEASIBLE (a feasible solve contracts far faster).
+    # primal-infeasibility CERTIFICATE tolerance (Banjac et al. 2019, the
+    # OSQP detector adapted to the consensus splitting): the dual delta
+    # over a check block must be (a) orthogonal to the dynamics subspace
+    # and (b) a strictly separating functional between the dynamics
+    # manifold and the constraint set. Only a passing certificate declares
+    # STATUS_PRIMAL_INFEASIBLE — never a convergence-speed guess.
+    eps_infeas: float = 1e-5
+    # stall ESCALATOR (not a verdict): `stall_checks` consecutive check
+    # blocks with <0.1% relative primal improvement at rp > 10 tol bump
+    # rho one grid entry (binding terminal sets contract 10-100x faster
+    # at high rho); at the top of the grid a stalled solve just runs to
+    # max_iter and reports honestly.
     stall_checks: int = 8
 
 
@@ -117,6 +127,7 @@ class RiccatiOperator:
     # static so the fused kernel's rho constant and the grid index stay
     # concrete when the operator itself is traced (e.g. inside shard_map)
     rho_grid: tuple = static_field()  # (R,) sorted rho values
+    rho0: float = static_field()  # resolve_config rho (auto-start index)
     Q: Array  # (nx, nx) stage state cost
     P_term: Array  # (nx, nx)
     R_in: Array  # (nu, nu)
@@ -171,15 +182,21 @@ def resolve_config(config: RiccatiConfig, R: Array) -> RiccatiConfig:
         rho = float(np.mean(np.diag(np.asarray(R, np.float64))))
         rho = max(rho, 1e-6)
     if grid is None:
-        grid = (0.1 * rho, rho, 10.0 * rho)
+        # two decades UP: binding contractive/equality terminal rows need
+        # rho >> R-bar to contract (measured on QTP: the hard contractive
+        # lane converges at 100 R-bar and never below 10 R-bar); the stall
+        # escalator walks up this grid instead of guessing infeasibility
+        grid = (0.1 * rho, rho, 10.0 * rho, 100.0 * rho)
     return dataclasses.replace(config, rho=float(rho), rho_grid=tuple(grid))
 
 
 def _initial_ridx(op: "RiccatiOperator", config: RiccatiConfig) -> int:
-    """Grid index of the starting rho (middle of the grid when auto)."""
-    if config.rho is None:
-        return len(op.rho_grid) // 2
-    return int(np.argmin(np.abs(np.log(op.rho_grid) - np.log(config.rho))))
+    """Grid index of the starting rho. Auto (rho=None) re-derives the
+    resolve_config rule from the operator's own R so the engine can carry
+    the user's unresolved config (round-trip identity) and still start at
+    the resolved rho."""
+    rho = op.rho0 if config.rho is None else float(config.rho)
+    return int(np.argmin(np.abs(np.log(op.rho_grid) - np.log(rho))))
 
 
 def build_riccati_operator(
@@ -267,6 +284,7 @@ def build_riccati_operator(
     return RiccatiOperator(
         factors=factors,
         rho_grid=tuple(grid),
+        rho0=float(config.rho),
         Q=f32(Q64),
         P_term=f32(P64),
         R_in=f32(R64),
@@ -351,6 +369,61 @@ def _project_X(op: RiccatiOperator, V: Array, ball_r) -> Array:
     elif op.split_terminal:
         out = out.at[-1].set(jnp.clip(V[-1], op.xN_lo, op.xN_hi))
     return out
+
+
+def _box_support(d, lo, hi):
+    """Support function of a box at direction d; +inf rays contribute only
+    where d points along them (d==0 rows contribute exactly 0)."""
+    pos = jnp.where(d > 0, jnp.where(jnp.isfinite(hi), hi * d, jnp.inf), 0.0)
+    neg = jnp.where(d < 0, jnp.where(jnp.isfinite(lo), lo * d, jnp.inf), 0.0)
+    return jnp.sum(pos + neg)
+
+
+def infeas_certificate(op, dlamX, dlamU, Xbar, ball_r, eps):
+    """Primal-infeasibility certificate for the consensus splitting
+    (Banjac et al. 2019 "Infeasibility detection in ADMM" / OSQP §3.4,
+    re-derived for w ∈ M = {(X,U): X_{k+1}=A X_k + B U_k, X_0 = e0},
+    v ∈ C = boxes + terminal ball, w = v):
+
+    the problem is primal infeasible iff the limiting dual delta dlam
+    separates M from C, i.e. S_C(dlam) + S_M(-dlam) < 0 where
+      * S_M(-dlam) finite requires dlam ⊥ V (V = M's linear subspace):
+        checked by the adjoint recursion g_k = A' g_{k+1} + dlamX_k with
+        per-step residual r_k = B' g_{k+1} + dlamU_k ≈ 0 (one O(N) scan);
+      * then S_M(-dlam) = -<dlam, wbar> for any wbar ∈ M (the zero-input
+        rollout Xbar), and S_C is the box/ball support function.
+    Unsplit rows carry dlam ≡ 0 and drop out of every term. This replaces
+    the round-2 stall *guess* — a false "infeasible" makes the caller
+    discard a good plan, so only a verifiable separating functional may
+    declare it (contrast: the reference never checks status at all,
+    computation_mpc.jl:38-55)."""
+    # orthogonality to the dynamics subspace: reverse adjoint scan
+    def adj(g, inp):
+        dlx_k, dlu_k = inp
+        r_k = _mm(op.factors.Bt, g) + dlu_k
+        g_new = _mm(op.factors.A.T, g) + dlx_k
+        return g_new, jnp.max(jnp.abs(r_k))
+
+    _, r_all = jax.lax.scan(
+        adj, dlamX[-1], (dlamX[:-1], dlamU), reverse=True
+    )
+    ortho_res = jnp.max(r_all)
+
+    s_c = _box_support(dlamU, op.u_lo, op.u_hi)
+    if op.split_interior:
+        s_c = s_c + _box_support(dlamX[1:-1], op.x_lo, op.x_hi)
+    if op.terminal_ball:
+        s_c = s_c + ball_r * jnp.linalg.norm(dlamX[-1])
+    elif op.split_terminal:
+        s_c = s_c + _box_support(dlamX[-1], op.xN_lo, op.xN_hi)
+    support = s_c - jnp.sum(dlamX * Xbar)
+
+    dnorm = jnp.maximum(jnp.max(jnp.abs(dlamX)), jnp.max(jnp.abs(dlamU)))
+    return (
+        (dnorm > 1e-9)
+        & (ortho_res <= eps * dnorm)
+        & (support <= -eps * dnorm)
+    )
 
 
 def rollout_warm(op: RiccatiOperator, e0: Array, U: Array) -> Array:
@@ -456,8 +529,11 @@ def solve_sparse(
         do = (jnp.mod(it, adapt) < ck) & (~done)
         return jnp.where(do, new, ridx)
 
+    Xbar = rollout_warm(op, e0, jnp.zeros((N, nu), dt))
+    top_ridx = len(op.rho_grid) - 1
+
     def body(state):
-        X, U, vX, vU, lamX, lamU, ridx, it, rp, rd, done, stall = state
+        X, U, vX, vU, lamX, lamU, ridx, it, rp, rd, done, stall, infeas = state
         vU_prev = vU
         vX_prev = vX
         (Xn, Un, vXn, vUn, lamXn, lamUn, ridxn), _ = jax.lax.scan(
@@ -470,17 +546,20 @@ def solve_sparse(
         )
         tol = config.eps_abs + config.eps_rel * scale
         finite = jnp.isfinite(jnp.sum(Un) + jnp.sum(Xn))
-        # infeasibility signature: primal residual stalled well above tol
-        # (duals growing linearly against an unreachable constraint set)
+        # real infeasibility verdict: separating-functional certificate on
+        # the block's dual delta (never a convergence-speed guess)
+        cert = infeas_certificate(
+            op, lamXn - lamX, lamUn - lamU, Xbar, ball_r, config.eps_infeas
+        )
+        # stall ESCALATOR: a primal residual pinned well above tol means
+        # rho is too soft for the binding set — walk up the grid
         stalled = (rp_new > 10.0 * tol) & (
             jnp.abs(rp - rp_new) <= 1e-3 * rp_new
         )
-        stall_new = jnp.where(stalled, stall + 1, 0)
-        done_new = (
-            ((rp_new <= tol) & (rd_new <= tol * rho))
-            | ~finite
-            | (stall_new >= config.stall_checks)
-        )
+        stall_tmp = jnp.where(stalled, stall + 1, 0)
+        esc = (stall_tmp >= config.stall_checks) & (ridxn < top_ridx)
+        stall_new = jnp.where(esc, 0, stall_tmp)
+        done_new = ((rp_new <= tol) & (rd_new <= tol * rho)) | ~finite | cert
         prim_norm = jnp.maximum(jnp.max(jnp.abs(Un)), jnp.max(jnp.abs(vUn)))
         dual_norm = jnp.max(jnp.abs(lamUn))
         if split_x:
@@ -495,9 +574,10 @@ def solve_sparse(
             rd_new / jnp.maximum(dual_norm, 1e-6),
             it + ck, done_new,
         )
+        ridx3 = jnp.where(esc, jnp.minimum(ridx2 + 1, top_ridx), ridx2)
         return (
-            Xn, Un, vXn, vUn, lamXn, lamUn, ridx2, it + ck, rp_new, rd_new,
-            done_new, stall_new,
+            Xn, Un, vXn, vUn, lamXn, lamUn, ridx3, it + ck, rp_new, rd_new,
+            done_new, stall_new, infeas | cert,
         )
 
     def cond(state):
@@ -509,18 +589,17 @@ def solve_sparse(
     X0 = X0.at[0].set(e0)
     init = (
         X0, U0, vX0, vU0, lamX0, lamU0, ridx0 + izero,
-        izero, jnp.inf + zero, jnp.inf + zero, zero > 1.0, izero,
+        izero, jnp.inf + zero, jnp.inf + zero, zero > 1.0, izero, zero > 1.0,
     )
-    X, U, vX, vU, lamX, lamU, ridx, it, rp, rd, done, stall = (
+    X, U, vX, vU, lamX, lamU, ridx, it, rp, rd, done, stall, infeas = (
         jax.lax.while_loop(cond, body, init)
     )
     finite = jnp.isfinite(jnp.sum(U) + jnp.sum(X))
-    infeasible = stall >= config.stall_checks
     status = jnp.where(
         ~finite,
         STATUS_NUMERIC_ERROR,
         jnp.where(
-            infeasible,
+            infeas,
             STATUS_PRIMAL_INFEASIBLE,
             jnp.where(done, STATUS_CONVERGED, STATUS_MAX_ITER),
         ),

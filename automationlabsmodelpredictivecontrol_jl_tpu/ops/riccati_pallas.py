@@ -16,8 +16,13 @@ N does not unroll the kernel.
 
 Iteration order matches ops.riccati.solve_sparse.admm_iter exactly
 (w-update from the carried (v, lam), then projection + dual ascent), so the
-outer driver's residuals/stall/freeze logic is bit-for-bit the jax engine's
-semantics at a fraction of the HBM traffic.
+outer driver's residuals/certificate/freeze logic follows the jax engine's
+semantics at a fraction of the HBM traffic — with ONE documented
+divergence: rho adaptation and stall escalation are BATCH-GLOBAL here (the
+kernel's rho and factor slabs are compile-time constants selected by
+lax.switch), while the jax engine adapts per lane. On batches whose lanes
+want different rho the two engines can take different iteration counts
+(statuses and solutions still agree within tolerance).
 """
 
 from __future__ import annotations
@@ -35,6 +40,7 @@ from .riccati import (
     RiccatiConfig,
     RiccatiOperator,
     rollout_warm,
+    _box_support,
     _initial_ridx,
     _project_X,
 )
@@ -363,6 +369,53 @@ def solve_sparse_fused(
             )
         return rp, rd
 
+    # zero-input rollouts: the manifold anchor for the infeasibility
+    # certificate's support term (ops.riccati.infeas_certificate)
+    Xbar = jax.vmap(
+        lambda e: rollout_warm(op, e, jnp.zeros((N, nu), f)),
+        in_axes=0, out_axes=-1,
+    )(e0s)  # (N+1, nx, B)
+
+    def infeas_cert(dlamX, dlamU):
+        """Batched separating-functional certificate (lane axis last);
+        semantics of ops.riccati.infeas_certificate per lane."""
+        def adj(g, inp):
+            dlx_k, dlu_k = inp
+            r_k = jnp.matmul(op.factors.Bt, g)
+            r_k = r_k + dlu_k
+            g_new = jnp.matmul(op.factors.A.T, g) + dlx_k
+            return g_new, jnp.max(jnp.abs(r_k), axis=0)
+
+        _, r_all = jax.lax.scan(
+            adj, dlamX[-1], (dlamX[:-1], dlamU), reverse=True
+        )
+        ortho_res = jnp.max(r_all, axis=0)  # (B,)
+
+        def boxsup(d, lo, hi):
+            # per-lane sum over the leading (row, dim) axes
+            return jax.vmap(
+                lambda dd: _box_support(dd, lo, hi), in_axes=-1
+            )(d)
+
+        s_c = boxsup(dlamU, op.u_lo, op.u_hi)
+        if op.split_interior:
+            s_c = s_c + boxsup(dlamX[1:-1], op.x_lo, op.x_hi)
+        if op.terminal_ball:
+            s_c = s_c + ballr[0] * jnp.linalg.norm(dlamX[-1], axis=0)
+        elif op.split_terminal:
+            s_c = s_c + boxsup(dlamX[-1], op.xN_lo, op.xN_hi)
+        support = s_c - jnp.sum(dlamX * Xbar, axis=(0, 1))
+        dnorm = jnp.maximum(
+            jnp.max(jnp.abs(dlamX), axis=(0, 1)),
+            jnp.max(jnp.abs(dlamU), axis=(0, 1)),
+        )
+        eps = config.eps_infeas
+        return (
+            (dnorm > 1e-9)
+            & (ortho_res <= eps * dnorm)
+            & (support <= -eps * dnorm)
+        )
+
     def cond(state):
         it, done = state[8], state[11]
         return (~jnp.all(done)) & (it < config.max_iter)
@@ -382,8 +435,11 @@ def solve_sparse_fused(
 
     branches = [_branch(i) for i in range(R_grid)]
 
+    top_ridx = R_grid - 1
+
     def body(state):
-        X, U, vX, vU, lamX, lamU, ridx, itl, it, rp, rd, done, stall, bad = state
+        (X, U, vX, vU, lamX, lamU, ridx, itl, it, rp, rd, done, stall, bad,
+         infeas) = state
         vX_prev, vU_prev = vX, vU
         rho = jnp.take(grid_arr, ridx)
         Xn, Un, vXn, vUn, lamXn, lamUn = jax.lax.switch(
@@ -405,11 +461,19 @@ def solve_sparse_fused(
         finite = jnp.isfinite(
             jnp.sum(Un, axis=(0, 1)) + jnp.sum(Xn, axis=(0, 1))
         )
+        # per-lane certificate verdict; stall only ESCALATES rho (batch-
+        # global here, matching this driver's batch-global adaptation)
+        cert = infeas_cert(lamXn - lamX, lamUn - lamU) & ~done
         stalled = (rp2 > 10.0 * tol) & (jnp.abs(rp - rp2) <= 1e-3 * rp2)
-        stall2 = jnp.where(done, stall, jnp.where(stalled, stall + 1, 0))
+        stall_tmp = jnp.where(done, stall, jnp.where(stalled, stall + 1, 0))
+        esc = jnp.any(~done & (stall_tmp >= config.stall_checks)) & (
+            ridx < top_ridx
+        )
+        stall2 = jnp.where(esc, 0, stall_tmp)
         bad2 = bad | (~finite & ~done)
+        infeas2 = infeas | cert
         conv = (rp2 <= tol) & (rd2 <= tol * rho)
-        done2 = done | conv | ~finite | (stall2 >= config.stall_checks)
+        done2 = done | conv | ~finite | cert
         itl2 = jnp.where(done, itl, it + ck)
 
         # batch-level rho adaptation (OSQP §5.2): mean normalized
@@ -444,9 +508,11 @@ def solve_sparse_fused(
             ridx2 = jnp.where(do, ridx_t, ridx)
         else:
             ridx2 = ridx
+        # stall escalation wins the block over the adaptation rule
+        ridx3 = jnp.where(esc, jnp.minimum(ridx2 + 1, top_ridx), ridx2)
         return (
-            Xn, Un, vXn, vUn, lamXn, lamUn, ridx2, itl2, it + ck, rp2, rd2,
-            done2, stall2, bad2,
+            Xn, Un, vXn, vUn, lamXn, lamUn, ridx3, itl2, it + ck, rp2, rd2,
+            done2, stall2, bad2, infeas2,
         )
 
     zeros = jnp.zeros((B,), f)
@@ -457,18 +523,16 @@ def solve_sparse_fused(
         izeros,
         jnp.asarray(0, jnp.int32),
         zeros + jnp.inf, zeros + jnp.inf,
-        zeros > 1.0, izeros, zeros > 1.0,
+        zeros > 1.0, izeros, zeros > 1.0, zeros > 1.0,
     )
-    X, U, vX, vU, lamX, lamU, ridx, iters, it, rp, rd, done, stall, bad = (
-        jax.lax.while_loop(cond, body, state)
-    )
+    (X, U, vX, vU, lamX, lamU, ridx, iters, it, rp, rd, done, stall, bad,
+     infeas) = jax.lax.while_loop(cond, body, state)
 
-    infeasible = stall >= config.stall_checks
     status = jnp.where(
         bad,
         STATUS_NUMERIC_ERROR,
         jnp.where(
-            infeasible,
+            infeas,
             STATUS_PRIMAL_INFEASIBLE,
             jnp.where(done, STATUS_CONVERGED, STATUS_MAX_ITER),
         ),

@@ -58,6 +58,7 @@ class SqpConfig:
     soft_state_penalty: float = 1e4  # L1 slack penalty on state boxes
     terminal_penalty: float = 1e4  # merit penalty on terminal-set violation
     tol_du: float = 1e-5
+    feas_tol: float = 1e-4  # constraint-violation gate on STATUS_CONVERGED
     scaling_iters: int = 2
     admm: admm_ops.AdmmConfig = admm_ops.AdmmConfig(
         max_iter=150, eps_abs=1e-6, eps_rel=1e-6, adaptive=True
@@ -153,6 +154,35 @@ def true_objective(tuning, xs: Array, us: Array) -> Array:
     du = us[:-1] - us[1:]
     J += jnp.einsum("ki,ij,kj->", du, w.S, du, precision=HIGHEST)
     return J
+
+
+def _violation(engine: SqpEngine, tuning, system, xs: Array) -> Array:
+    """Max constraint violation of a rolled-out trajectory: state boxes +
+    the terminal set (inputs are clipped to their box, so always 0).
+    Surfaced as the solution's primal residual — a line-search-stalled
+    iterate with violated boxes must never report "converged, residual 0"
+    (the status blindness this framework exists to fix,
+    computation_mpc.jl:38-55)."""
+    viol = jnp.asarray(0.0, xs.dtype)
+    if engine.state_rows:
+        viol = jnp.max(
+            jax.nn.relu(system.X.lo - xs[1:]) + jax.nn.relu(xs[1:] - system.X.hi)
+        )
+    ex_last = xs[-1] - tuning.references.x[:, -1]
+    if engine.terminal_kind == "equality":
+        viol = jnp.maximum(viol, jnp.max(jnp.abs(ex_last)))
+    elif engine.terminal_kind == "contractive":
+        ex0 = xs[0] - tuning.references.x[:, 0]
+        viol = jnp.maximum(
+            viol,
+            jax.nn.relu(jnp.sum(ex_last**2) - 0.9 * jnp.sum(ex0**2)),
+        )
+    elif engine.terminal_kind == "neighborhood":
+        viol = jnp.maximum(
+            viol,
+            jnp.max(jax.nn.relu(tuning.terminal.H @ ex_last - tuning.terminal.b)),
+        )
+    return viol
 
 
 def _merit(engine: SqpEngine, tuning, system, xs: Array, us: Array) -> Array:
@@ -308,7 +338,13 @@ def solve_nonlinear(
     xs = _rollout(system, x0, us)
     ex = xs - refs.x.T
     eu = us - refs.u.T
-    status = jnp.where(done_f, STATUS_CONVERGED, STATUS_MAX_ITER).astype(jnp.int32)
+    # honest status: tol_du alone cannot see feasibility (the line search
+    # includes the zero step) — gate convergence on the MEASURED violation
+    # and report it as the primal residual (mirrors EmpcConfig.feas_tol)
+    viol = _violation(engine, tuning, system, xs)
+    status = jnp.where(
+        done_f & (viol <= cfg.feas_tol), STATUS_CONVERGED, STATUS_MAX_ITER
+    ).astype(jnp.int32)
     sol = MpcSolution(
         x=xs.T,
         e_x=ex.T,
@@ -316,7 +352,7 @@ def solve_nonlinear(
         e_u=eu.T,
         status=status,
         iterations=it_f,
-        primal_residual=jnp.asarray(0.0, dt),  # rollout is exact (shooting)
+        primal_residual=viol.astype(dt),
         dual_residual=jnp.asarray(0.0, dt),
         objective=true_objective(tuning, xs, us),
     )
