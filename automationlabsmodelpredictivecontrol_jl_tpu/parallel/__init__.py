@@ -8,6 +8,7 @@ from .scenarios import (
     make_escalated_solver,
     make_mesh,
     solve_batch,
+    solve_batch_escalated,
     solve_batch_fused,
     solve_sharded,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "make_escalated_solver",
     "make_mesh",
     "solve_batch",
+    "solve_batch_escalated",
     "solve_batch_fused",
     "solve_sharded",
 ]

@@ -418,49 +418,100 @@ def _native_lane_solve(controller: MpcController, x0, wz_lane, wy_lane):
     return lane_sol, wz_next.astype(np.float32), y.astype(np.float32)
 
 
+def solve_batch_escalated(
+    controller: MpcController,
+    fallback: MpcController,
+    x0s: Array,  # (B, nx)
+    warm_z: Array,
+    warm_y: Array,
+    bucket: int = 256,
+) -> Tuple[MpcSolution, Array, Array, BatchDiagnostics]:
+    """Two-tier batch solve in ONE jitted program (no host round-trips).
+
+    Tier 1 runs the controller's fast fused config; the straggler lanes
+    (STATUS_MAX_ITER / STATUS_NUMERIC_ERROR) are gathered ON DEVICE into a
+    static ``bucket`` and re-solved on the fallback controller's full-grid
+    operator, *continuing from the tier-1 iterate* (sol.e_u is the unshifted
+    primal z, the returned wy the raw dual y). Results scatter back only
+    over lanes that were actually unconverged.
+
+    Static bucket = compiler-friendly escalation: the tunneled-dispatch
+    latency a host-driven gather/merge pays twice per batch disappears.
+    Lanes beyond the bucket (pathological distributions) stay MAX_ITER and
+    are closed by the host tier of :func:`make_escalated_solver`.
+    """
+    from ..design import LinearEngine
+
+    B = x0s.shape[0]
+    bucket = min(bucket, B)
+    sol, wz, wy, _ = solve_batch_fused(controller, x0s, warm_z, warm_y)
+
+    bad = (sol.status == 1) | (sol.status == 4)
+    # stable partition: unconverged lanes first (False sorts before True)
+    gidx = jnp.argsort(~bad)[:bucket]
+    bad_g = bad[gidx][:, None]
+
+    if isinstance(controller.engine, LinearEngine):
+        z_it = sol.e_u.transpose(0, 2, 1).reshape(B, -1)[gidx]
+        y_it = wy[gidx]
+        ok = (
+            jnp.all(jnp.isfinite(z_it), axis=1)
+            & jnp.all(jnp.isfinite(y_it), axis=1)
+        )[:, None]
+        z0 = jnp.where(ok, z_it, warm_z[gidx])
+        y0 = jnp.where(ok, y_it, warm_y[gidx])
+    else:
+        # Riccati warms are shifted receding-horizon carries, not iterates:
+        # tier 2 restarts those lanes from the original warm pair
+        z0, y0 = warm_z[gidx], warm_y[gidx]
+
+    sol2, wz2, wy2, _ = solve_batch_fused(fallback, x0s[gidx], z0, y0)
+    # tier-2 iteration counts continue tier 1's
+    sol2 = sol2.replace(iterations=sol2.iterations + sol.iterations[gidx])
+
+    def merge(old, new):
+        flag = bad_g.reshape((bucket,) + (1,) * (new.ndim - 1))
+        return old.at[gidx].set(jnp.where(flag, new, old[gidx]))
+
+    sol_m = jax.tree_util.tree_map(merge, sol, sol2)
+    wz_m = merge(wz, wz2)
+    wy_m = merge(wy, wy2)
+    return sol_m, wz_m, wy_m, _diagnostics(sol_m)
+
+
 def make_escalated_solver(
     controller: MpcController,
     fallback: Optional[MpcController] = None,
-    min_bucket: int = 64,
+    min_bucket: int = 256,
     native_tier: bool = True,
 ):
     """Tiered batch solver — the production-serving pattern that closes the
     convergence tail without paying the full rho grid on every lane:
 
     1. fused Pallas kernel, the controller's (narrow, calibrated) config;
-    2. stragglers (STATUS_MAX_ITER / STATUS_NUMERIC_ERROR) gathered to a
-       power-of-two bucket and re-solved on the fused kernel with the full
-       prefactorized rho grid + deep iteration budget;
+    2. stragglers (STATUS_MAX_ITER / STATUS_NUMERIC_ERROR) gathered ON
+       DEVICE to a static ``min_bucket`` and re-solved on the fused kernel
+       with the full prefactorized rho grid + deep iteration budget,
+       continuing from the tier-1 iterate (tiers 1+2 are one jitted
+       program — no host round-trip);
     3. anything still unconverged (typically 0-2 lanes per 16k) crosses to
        the host f64 native oracle (native/qpref) — the same boundary hop
        the reference pays on *every* solve (SURVEY §3.2).
 
     Returns ``solve(x0s, warm_z=None, warm_y=None) -> (sol, wz, wy, diag)``.
-    Host-driven — not itself jittable, by design (it is the boundary where
-    serving logic lives). Infeasibility certificates (status 2/3) are never
-    re-dispatched."""
+    Host-driven only at the tier-3 boundary: tiers 1+2 run as the single
+    jitted program :func:`solve_batch_escalated` (on-device straggler
+    gather, no tunnel round-trip between tiers). Infeasibility certificates
+    (status 2/3) are never re-dispatched."""
     from ..design import LinearEngine
 
     fb = fallback if fallback is not None else escalation_controller(controller)
-    fast = jax.jit(lambda x, z, y: solve_batch_fused(controller, x, z, y))
-    if fused_supported(fb):
-        slow = jax.jit(lambda x, z, y: solve_batch_fused(fb, x, z, y))
-    else:
-        slow = jax.jit(lambda x, z, y: solve_batch(fb, x, z, y))
     native_ok = native_tier and isinstance(controller.engine, LinearEngine)
-
-    @jax.jit
-    def gather_merge(x0s, warm_z, warm_y, sol, wz, wy, gidx):
-        """Gather the straggler bucket, re-solve on the fallback engine and
-        scatter back — one jitted program (eager per-leaf scatters cost
-        seconds over a tunneled TPU link). ``gidx`` pads with a repeated
-        live index, so duplicate scatters write identical values."""
-        sol2, wz2, wy2, _ = slow(x0s[gidx], warm_z[gidx], warm_y[gidx])
-        scatter = lambda f, p: f.at[gidx].set(p)
-        sol_m = jax.tree_util.tree_map(scatter, sol, sol2)
-        wz_m = scatter(wz, wz2)
-        wy_m = scatter(wy, wy2)
-        return sol_m, wz_m, wy_m, _diagnostics(sol_m)
+    two_tier = jax.jit(
+        lambda x, z, y: solve_batch_escalated(
+            controller, fb, x, z, y, bucket=min_bucket
+        )
+    )
 
     def _redispatch_idx(status: np.ndarray) -> np.ndarray:
         return np.nonzero((status == 1) | (status == 4))[0]
@@ -469,63 +520,83 @@ def make_escalated_solver(
         B = x0s.shape[0]
         if warm_z is None or warm_y is None:
             warm_z, warm_y = init_warm_batch(controller, B)
-        sol, wz, wy, diag = fast(x0s, warm_z, warm_y)
-        idx = _redispatch_idx(np.asarray(sol.status))
-        if idx.size == 0:
-            return sol, wz, wy, diag
+        sol, wz, wy, diag = two_tier(x0s, warm_z, warm_y)
 
-        # tier 2: fused full-grid fallback on the straggler bucket
-        bucket = min(B, max(min_bucket, 1 << (int(idx.size) - 1).bit_length()))
-        pad = np.full(bucket, idx[0], np.int64)
-        pad[: idx.size] = idx
-        sol, wz, wy, diag = gather_merge(
-            x0s, warm_z, warm_y, sol, wz, wy, jnp.asarray(pad)
-        )
-
-        # tier 3: host f64 oracle for the last few lanes
+        # tier 3: host f64 oracle for the last few lanes (or, pathological
+        # case, a straggler population that overflowed the static bucket)
         idx3 = _redispatch_idx(np.asarray(sol.status)) if native_ok else ()
         if len(idx3) == 0:
             return sol, wz, wy, diag
 
-        x0_np = np.asarray(x0s)
-        wz_np = np.asarray(warm_z)
-        wy_np = np.asarray(warm_y)
+        # gather ONLY the straggler lanes on device (one small transfer —
+        # pulling the full batch iterate to host costs tens of MB over a
+        # tunneled TPU link), continuing from the merged tier-2 iterate
+        # (sol.e_u = primal z, wy = raw dual for the condensed engine) with
+        # a fall back to the original warm pair for non-finite lanes
+        li = jnp.asarray(idx3)
+        x0_g, z_g, y_g = jax.device_get(
+            _gather_tier3(sol, wy, x0s, warm_z, warm_y, li)
+        )
         lanes, wz3, wy3 = [], [], []
-        for i in idx3:
+        for k in range(len(idx3)):
             lane, wzl, wyl = _native_lane_solve(
-                controller, x0_np[i], wz_np[i], wy_np[i]
+                controller, x0_g[k], z_g[k], y_g[k]
             )
             lanes.append(lane)
             wz3.append(wzl)
             wy3.append(wyl)
-        li = jnp.asarray(idx3)
 
-        def put(field, key, dt=jnp.float32):
-            vals = jnp.asarray(
+        def stack(key, dt=jnp.float32):
+            return jnp.asarray(
                 np.stack([ln[key] for ln in lanes]).astype(np.float64), dt
             )
-            return field.at[li].set(vals)
 
-        sol = sol.replace(
-            x=put(sol.x, "x"),
-            e_x=put(sol.e_x, "e_x"),
-            u=put(sol.u, "u"),
-            e_u=put(sol.e_u, "e_u"),
-            status=sol.status.at[li].set(
-                jnp.asarray([ln["status"] for ln in lanes], jnp.int32)
+        patch = MpcSolution(
+            x=stack("x"),
+            e_x=stack("e_x"),
+            u=stack("u"),
+            e_u=stack("e_u"),
+            status=jnp.asarray([ln["status"] for ln in lanes], jnp.int32),
+            iterations=jnp.asarray(
+                [ln["iterations"] for ln in lanes], jnp.int32
             ),
-            iterations=sol.iterations.at[li].set(
-                jnp.asarray([ln["iterations"] for ln in lanes], jnp.int32)
-            ),
-            primal_residual=put(sol.primal_residual, "primal_residual"),
-            dual_residual=put(sol.dual_residual, "dual_residual"),
-            objective=put(sol.objective, "objective"),
+            primal_residual=stack("primal_residual"),
+            dual_residual=stack("dual_residual"),
+            objective=stack("objective"),
         )
-        wz = wz.at[li].set(jnp.asarray(np.stack(wz3)))
-        wy = wy.at[li].set(jnp.asarray(np.stack(wy3)))
-        return sol, wz, wy, _diagnostics(sol)
+        # ONE jitted scatter program for the whole patch: eager per-field
+        # .at[].set dispatches each pay a device round-trip (tens of ms
+        # over a tunneled TPU link)
+        sol, wz, wy, diag = _scatter_native_patch(
+            sol, wz, wy, li, patch,
+            jnp.asarray(np.stack(wz3)), jnp.asarray(np.stack(wy3)),
+        )
+        return sol, wz, wy, diag
 
     return solve
+
+
+@jax.jit
+def _gather_tier3(sol, wy, x0s, warm_z, warm_y, li):
+    B = x0s.shape[0]
+    z_it = sol.e_u.transpose(0, 2, 1).reshape(B, -1)[li]
+    y_it = wy[li]
+    ok = (
+        jnp.all(jnp.isfinite(z_it), axis=1) & jnp.all(jnp.isfinite(y_it), axis=1)
+    )[:, None]
+    return (
+        x0s[li],
+        jnp.where(ok, z_it, warm_z[li]),
+        jnp.where(ok, y_it, warm_y[li]),
+    )
+
+
+@jax.jit
+def _scatter_native_patch(sol, wz, wy, li, patch, wz3, wy3):
+    sol_m = jax.tree_util.tree_map(
+        lambda f, p: f.at[li].set(p), sol, patch
+    )
+    return sol_m, wz.at[li].set(wz3), wy.at[li].set(wy3), _diagnostics(sol_m)
 
 
 def closed_loop_batch(

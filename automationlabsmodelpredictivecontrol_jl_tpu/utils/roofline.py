@@ -85,45 +85,51 @@ def _matmul_flops(b: int, k: int, n: int, padded: bool) -> float:
 
 
 def admm_iteration_model(
-    n: int, m: int, R: int, block: int = 512, refine_steps: int = 0
+    n: int, m: int, R: int, block: int = 1024, refine_steps: int = 0
 ) -> Dict[str, float]:
-    """Per-iteration flops/bytes of the fused ADMM kernel for one block of
-    ``block`` scenario lanes (ops/admm_pallas.py _iterate_kernel).
+    """Per-iteration flops/bytes of the fused ADMM kernel (v2, lane-packed)
+    for one block of ``block`` scenario lanes (ops/admm_pallas.py).
 
-    Matmuls per iteration: y·A (m→n), per rho r: s·AtRho_rᵀ (m→n),
-    (base+w)·K⁻¹_r (n→n) plus 2 n→n dots per refinement step, then xt·Aᵀ
-    (n→m). State stays in VMEM for the whole chunk, so per-iteration HBM
-    traffic is ~zero; bytes are accounted per chunk in
-    :func:`admm_chunk_bytes`.
+    Two GEMM dispatches per iteration:
+    1. ``[y ; s] @ [A | A'diag(rho_r)' ..]`` — (2·block, m)@(m, n + R·n)
+    2. ``rhs_all @ blockdiag_r([K_r⁻¹ | K_r⁻¹A'])`` — (block, R·n)@(R·n, R·(n+m))
+    plus, per refinement step, (block, n)@(n, R·n) and (block, n)@(n, R·(n+m)).
+
+    ``useful`` counts the single-rho algorithmically necessary multiply-adds
+    (A'y, A'ρs, the K-solve, A·x, and the refinement dots for ONE rho) —
+    the R-grid redundancy and MXU tile padding are both implementation
+    overheads charged only to ``padded``. State stays in VMEM for the whole
+    chunk; per-chunk HBM bytes live in :func:`admm_chunk_bytes`.
     """
-    nn_dots = 1 + 2 * refine_steps
     useful = (
-        _matmul_flops(block, n, m, False)  # xt·Aᵀ
-        + _matmul_flops(block, m, n, False)  # y·A
-        + R
-        * (
-            _matmul_flops(block, m, n, False)  # s·AtRho_rᵀ
-            + nn_dots * _matmul_flops(block, n, n, False)  # K⁻¹ + refine
-        )
+        2.0 * block * m * n * 3  # A'y, A'ρs, A·x
+        + 2.0 * block * n * n  # K-solve
+        + refine_steps * (2.0 * block * n * n * 2 + 2.0 * block * n * m)
     )
     padded = (
-        _matmul_flops(block, n, m, True)
-        + _matmul_flops(block, m, n, True)
-        + R
+        _matmul_flops(2 * block, m, n + R * n, True)  # GEMM 1
+        + _matmul_flops(block, R * n, R * (n + m), True)  # GEMM 2
+        + refine_steps
         * (
-            _matmul_flops(block, m, n, True)
-            + nn_dots * _matmul_flops(block, n, n, True)
+            _matmul_flops(block, n, R * n, True)
+            + _matmul_flops(block, n, R * (n + m), True)
         )
     )
     return {"useful_flops": useful, "padded_flops": padded, "block": block}
 
 
-def admm_chunk_bytes(n: int, m: int, R: int, block: int = 512) -> float:
+def admm_chunk_bytes(n: int, m: int, R: int, block: int = 1024) -> float:
     """HBM bytes moved per kernel launch for one block: lane state + vectors
-    in/out plus the replicated operator matrices."""
+    in/out plus the replicated packed operator matrices."""
     lane_in = block * (2 * n + 4 * m + 1) * 4  # q,l,u,idx,x,s,y,ax
     lane_out = block * (n + 3 * m) * 4
-    shared = (2 * R * n * n + R * n * m + m * n + 2 * R * m) * 4  # K⁻¹+K
+    shared = (
+        m * (n + R * n)  # rhs1
+        + R * n * R * (n + m)  # wcat (blockdiag, stored dense)
+        + n * R * n  # kcat
+        + n * R * (n + m)  # wrow
+        + 2 * R * m  # rho vecs
+    ) * 4
     return float(lane_in + lane_out + shared)
 
 
@@ -135,6 +141,59 @@ def admm_diag_model(n: int, m: int, batch: int) -> Dict[str, float]:
     # read x,s,y,ax + q,l,u; write residuals/masks (~4 scalars/lane)
     bytes_ = batch * (2 * n + 5 * m + 8) * 4.0
     return {"useful_flops": flops, "padded_flops": padded, "bytes": bytes_}
+
+
+def _tier_model(op, config, batch: int, iterations: float) -> Dict[str, float]:
+    """(padded/useful flops, bytes) for one solver tier executing
+    ``iterations`` lockstep iterations over ``batch`` lanes."""
+    from ..ops.admm_pallas import _BLOCK
+
+    n = int(op.K_invs.shape[1])
+    m = int(op.A_s.shape[0])
+    R = int(op.rho_grid.shape[0])
+    block = min(batch, _BLOCK)
+    n_blocks = max(1, batch // block)
+    chunk = max(1, int(config.check_interval))
+    n_chunks = max(1.0, float(iterations) / chunk)
+
+    it = admm_iteration_model(
+        n, m, R, block, refine_steps=int(getattr(config, "refine_steps", 0))
+    )
+    dg = admm_diag_model(n, m, batch)
+    return {
+        "n": n,
+        "m": m,
+        "R": R,
+        "padded_flops": it["padded_flops"] * iterations * n_blocks
+        + dg["padded_flops"] * n_chunks,
+        "useful_flops": it["useful_flops"] * iterations * n_blocks
+        + dg["useful_flops"] * n_chunks,
+        "bytes": admm_chunk_bytes(n, m, R, block) * n_chunks * n_blocks
+        + dg["bytes"] * n_chunks,
+    }
+
+
+def _report(tiers, measured_time_s: float, device=None) -> Dict[str, float]:
+    peaks = device_peaks(device)
+    flops_padded = sum(t["padded_flops"] for t in tiers)
+    flops_useful = sum(t["useful_flops"] for t in tiers)
+    bytes_total = sum(t["bytes"] for t in tiers)
+    t_mxu = flops_padded / peaks["f32_highest_flops"]
+    t_hbm = bytes_total / peaks["hbm_bytes_per_s"]
+    roofline_t = max(t_mxu, t_hbm)
+    return {
+        "device_kind": peaks["device_kind"],
+        "n": tiers[0]["n"],
+        "m": tiers[0]["m"],
+        "rho_grid": tiers[0]["R"],
+        "achieved_padded_tflops": flops_padded / measured_time_s / 1e12,
+        "achieved_useful_tflops": flops_useful / measured_time_s / 1e12,
+        "roofline_time_s": roofline_t,
+        "measured_time_s": measured_time_s,
+        "bound": "mxu" if t_mxu >= t_hbm else "hbm",
+        "sol_fraction": roofline_t / measured_time_s,
+        "mfu": (flops_useful / measured_time_s) / peaks["f32_highest_flops"],
+    }
 
 
 def speed_of_light(
@@ -151,49 +210,31 @@ def speed_of_light(
     and HBM limbs over kernel chunks + diagnostics), ``sol_fraction`` =
     roofline_time / measured_time (1.0 = running at the hardware ceiling)
     and ``mfu`` (useful-flops utilization of the f32-HIGHEST ceiling).
+
+    ``mean_iterations`` should be the iterations the hardware *executed*
+    (the while_loop runs all lanes in lockstep until the slowest converges —
+    per-lane mean convergence iterations understate the work).
     """
-    peaks = device_peaks(device)
-    n = int(op.K_invs.shape[1])
-    m = int(op.A_s.shape[0])
-    R = int(op.rho_grid.shape[0])
-    block = min(batch, 512)
-    n_blocks = max(1, batch // block)
-    chunk = max(1, int(config.check_interval))
-    n_chunks = max(1.0, float(mean_iterations) / chunk)
-
-    it = admm_iteration_model(
-        n, m, R, block, refine_steps=int(getattr(config, "refine_steps", 0))
+    out = _report(
+        [_tier_model(op, config, batch, mean_iterations)],
+        measured_time_s,
+        device,
     )
-    kernel_flops_padded = it["padded_flops"] * mean_iterations * n_blocks
-    kernel_flops_useful = it["useful_flops"] * mean_iterations * n_blocks
-    kernel_bytes = admm_chunk_bytes(n, m, R, block) * n_chunks * n_blocks
+    out["mean_iterations"] = float(mean_iterations)
+    return out
 
-    dg = admm_diag_model(n, m, batch)
-    diag_flops_padded = dg["padded_flops"] * n_chunks
-    diag_flops_useful = dg["useful_flops"] * n_chunks
-    diag_bytes = dg["bytes"] * n_chunks
 
-    flops_padded = kernel_flops_padded + diag_flops_padded
-    flops_useful = kernel_flops_useful + diag_flops_useful
-    bytes_total = kernel_bytes + diag_bytes
-
-    t_mxu = flops_padded / peaks["f32_highest_flops"]
-    t_hbm = bytes_total / peaks["hbm_bytes_per_s"]
-    roofline_t = max(t_mxu, t_hbm)
-    return {
-        "device_kind": peaks["device_kind"],
-        "n": n,
-        "m": m,
-        "rho_grid": R,
-        "mean_iterations": float(mean_iterations),
-        "achieved_padded_tflops": flops_padded / measured_time_s / 1e12,
-        "achieved_useful_tflops": flops_useful / measured_time_s / 1e12,
-        "roofline_time_s": roofline_t,
-        "measured_time_s": measured_time_s,
-        "bound": "mxu" if t_mxu >= t_hbm else "hbm",
-        "sol_fraction": roofline_t / measured_time_s,
-        "mfu": (flops_useful / measured_time_s) / peaks["f32_highest_flops"],
-    }
+def speed_of_light_tiered(
+    tiers, measured_time_s: float, device=None
+) -> Dict[str, float]:
+    """Roofline report for a multi-tier escalated solve: ``tiers`` is a list
+    of (op, config, batch, executed_iterations) — e.g. the full batch at the
+    tier-1 cap plus the straggler bucket at the tier-2 cap."""
+    return _report(
+        [_tier_model(op, cfg, b, it) for (op, cfg, b, it) in tiers],
+        measured_time_s,
+        device,
+    )
 
 
 def riccati_iteration_model(

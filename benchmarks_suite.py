@@ -167,9 +167,10 @@ def main():
         for engine_name in ("condensed", "riccati"):
             kw = dict(admm_config=AdmmConfig(max_iter=1000))
             if engine_name == "riccati":
-                kw = dict(
-                    riccati_config=RiccatiConfig(max_iter=1000, rho=10.0)
-                )
+                # rho=None -> the engine's auto rule (ops/riccati.py
+                # resolve_config); pinning rho=10.0 here cost the r2 bench
+                # ~700 iterations/solve vs ~60 at auto (VERDICT r2 weak #1)
+                kw = dict(riccati_config=RiccatiConfig(max_iter=1000))
             c6 = mpc.proceed_controller(
                 sys_lin, "model_predictive_control", N, 5.0, x_ref, u_ref,
                 engine=engine_name, **kw,
