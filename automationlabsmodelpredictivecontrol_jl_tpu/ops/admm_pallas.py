@@ -54,7 +54,57 @@ from ..types import STATUS_CONVERGED, STATUS_MAX_ITER, STATUS_NUMERIC_ERROR
 
 Array = Any
 
-_BLOCK = 1024  # scenario lanes per grid program
+_BLOCK = 1024  # max scenario lanes per grid program (VMEM permitting)
+
+
+def _use_packed(n: int, m: int, R: int) -> bool:
+    """Packed blockdiag candidates (2 GEMM dispatches/iteration) for the
+    common small-MPC shapes; per-rho GEMMs when the packed operator
+    (R*n, R*(n+m)) itself would eat the VMEM budget."""
+    return R * n * R * (n + m) * 4 <= 2 * 2**20
+
+
+def _shared_bytes(n: int, m: int, R: int, packed: bool, refine: int) -> int:
+    if packed:
+        s = (
+            m * (n + R * n)  # rhs1
+            + R * n * R * (n + m)  # wcat
+            + n * R * n  # kcat
+            + n * R * (n + m)  # wrow
+        )
+    else:
+        s = 2 * R * n * n + R * n * m + m * n  # K_inv, K, atrho, A
+    return (s + 2 * R * m) * 4
+
+
+def _pick_block(B: int, n: int, m: int, R: int, refine_steps: int) -> int:
+    """Largest block whose VMEM footprint fits the ~16 MB budget.
+
+    Bigger blocks amortize MXU fill/drain per GEMM dispatch; but the lane
+    state (double-buffered across grid programs) plus the GEMM temporaries
+    grow linearly in blk and in the rho-grid width R — at R=5 a 1024-lane
+    block overflows the 16 MB scoped VMEM, and big-n problems also carry
+    large shared operator slabs."""
+    pad = lambda v: -(-v // 128) * 128
+    packed = _use_packed(n, m, R)
+    shared = _shared_bytes(n, m, R, packed, refine_steps)
+    for blk in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if B % blk:
+            continue
+        lane = blk * (3 * pad(n) + 7 * pad(m) + 128) * 4  # in+out lane state
+        if packed:
+            temps = (
+                2 * blk * pad(n + R * n)  # g1
+                + blk * pad(R * n)  # rhs_all
+                + blk * pad(R * (n + m))  # cs
+            ) * 4
+            if refine_steps:
+                temps += blk * (pad(R * n) + pad(R * (n + m))) * 4
+        else:
+            temps = blk * (4 * pad(n) + 2 * pad(m)) * 4
+        if 2 * lane + temps + shared < 13 * 2**20:
+            return blk
+    return B
 
 
 def _iterate_kernel(
@@ -164,6 +214,95 @@ def _iterate_kernel(
     ax_out[:] = ax
 
 
+def _iterate_kernel_perr(
+    # inputs (VMEM) — unpacked per-rho operands for LARGE problems where the
+    # packed blockdiag (R*n, R*(n+m)) operator would not fit VMEM
+    kinv_ref,  # (R, n, n)
+    k_ref,  # (R, n, n) unfactored K (refinement only)
+    atrho_ref,  # (R, n, m) = A_s' diag(rho_r)
+    a_ref,  # (m, n)
+    rhov_ref,  # (R, m)
+    rhoi_ref,  # (R, m)
+    q_ref,
+    l_ref,
+    u_ref,
+    idx_ref,
+    x_in,
+    s_in,
+    y_in,
+    ax_in,
+    x_out,
+    s_out,
+    y_out,
+    ax_out,
+    *,
+    R: int,
+    chunk: int,
+    sigma: float,
+    alpha: float,
+    refine_steps: int,
+    precision,
+):
+    A = a_ref[:]
+    q = q_ref[:]
+    l = l_ref[:]
+    u = u_ref[:]
+    idx = idx_ref[:]
+
+    masks = [(idx == r).astype(jnp.float32) for r in range(R)]
+    rho_vec = jnp.zeros_like(l)
+    rho_inv = jnp.zeros_like(l)
+    for r in range(R):
+        rho_vec = rho_vec + masks[r] * rhov_ref[r]
+        rho_inv = rho_inv + masks[r] * rhoi_ref[r]
+
+    def body(_, state):
+        x, s, y, ax = state
+        aty = jnp.dot(y, A, preferred_element_type=jnp.float32,
+                      precision=precision)
+        base = sigma * x - q - aty
+        xt = jnp.zeros_like(x)
+        rhs_sel = jnp.zeros_like(x)
+        for r in range(R):
+            w = jnp.dot(s, atrho_ref[r].T, preferred_element_type=jnp.float32,
+                        precision=precision)
+            rhs = base + w
+            cand = jnp.dot(rhs, kinv_ref[r], preferred_element_type=jnp.float32,
+                           precision=precision)
+            xt = xt + masks[r] * cand
+            if refine_steps:
+                rhs_sel = rhs_sel + masks[r] * rhs
+        for _ in range(refine_steps):
+            kx = jnp.zeros_like(xt)
+            for r in range(R):
+                kx = kx + masks[r] * jnp.dot(
+                    xt, k_ref[r], preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+            resid = rhs_sel - kx
+            for r in range(R):
+                xt = xt + masks[r] * jnp.dot(
+                    resid, kinv_ref[r], preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+        st = jnp.dot(xt, A.T, preferred_element_type=jnp.float32,
+                     precision=precision)
+        x_new = alpha * xt + (1.0 - alpha) * x
+        v = alpha * st + (1.0 - alpha) * s
+        s_new = jnp.clip(v + rho_inv * y, l, u)
+        y_new = y + rho_vec * (v - s_new)
+        ax_new = alpha * st + (1.0 - alpha) * ax
+        return x_new, s_new, y_new, ax_new
+
+    x, s, y, ax = jax.lax.fori_loop(
+        0, chunk, body, (x_in[:], s_in[:], y_in[:], ax_in[:])
+    )
+    x_out[:] = x
+    s_out[:] = s
+    y_out[:] = y
+    ax_out[:] = ax
+
+
 def packed_operators(op: AdmmOperator):
     """Column/block-packed operator matrices for the v2 kernel (tiny; built
     from the prefactorized AdmmOperator, hoisted out of the solve loop by
@@ -207,24 +346,32 @@ def _iterate_chunk(
     B, n = q_s.shape
     m = l_s.shape[1]
     R = op.rho_grid.shape[0]
-    blk = B if B < _BLOCK else _BLOCK
+    blk = B if B < 8 else _pick_block(B, n, m, int(R), int(config.refine_steps))
     assert B % blk == 0, f"batch {B} not divisible by block {blk}"
-    rhs1, wcat, kcat, wrow = packed_operators(op)
+    packed = _use_packed(n, m, int(R))
 
     # Mosaic supports only DEFAULT/HIGHEST dot precisions; DEFAULT (bf16x1)
     # stalls the iteration, so the kernel always runs HIGHEST.
     prec = jax.lax.Precision.HIGHEST
-    kernel = functools.partial(
-        _iterate_kernel,
+    common = dict(
         R=int(R),
-        n=int(n),
-        m=int(m),
         chunk=int(chunk),
         sigma=float(config.sigma),
         alpha=float(config.alpha),
         refine_steps=int(config.refine_steps),
         precision=prec,
     )
+    if packed:
+        rhs1, wcat, kcat, wrow = packed_operators(op)
+        kernel = functools.partial(
+            _iterate_kernel, n=int(n), m=int(m), **common
+        )
+        shared_ops = (rhs1, wcat, kcat, wrow)
+    else:
+        atrho = op.A_s.T[None] * op.rho_vecs[:, None, :]  # (R, n, m)
+        kernel = functools.partial(_iterate_kernel_perr, **common)
+        shared_ops = (op.K_invs, op.Ks, atrho, op.A_s)
+
     shared = pl.BlockSpec(memory_space=pltpu.VMEM)  # full array, replicated
     bspec_n = pl.BlockSpec((blk, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     bspec_m = pl.BlockSpec((blk, m), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -233,13 +380,8 @@ def _iterate_chunk(
     out = pl.pallas_call(
         kernel,
         grid=(B // blk,),
-        in_specs=[
-            shared,  # rhs1
-            shared,  # wcat
-            shared,  # kcat
-            shared,  # wrow
-            shared,  # rho_vecs
-            shared,  # rho_invs
+        in_specs=[shared] * 6
+        + [
             bspec_n,  # q
             bspec_m,  # l
             bspec_m,  # u
@@ -259,7 +401,7 @@ def _iterate_chunk(
         input_output_aliases={10: 0, 11: 1, 12: 2, 13: 3},
         interpret=interpret,
     )(
-        rhs1, wcat, kcat, wrow, op.rho_vecs, op.rho_invs,
+        *shared_ops, op.rho_vecs, op.rho_invs,
         q_s, l_s, u_s, idx[:, None].astype(jnp.int32), x, s, y, ax,
     )
     return tuple(out)

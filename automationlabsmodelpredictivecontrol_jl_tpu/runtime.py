@@ -141,6 +141,14 @@ def _solve_riccati(
 def _solve_sqp(
     engine, tuning: MpcTuning, system, x0: Array, warm_z: Array, warm_y: Array
 ) -> Tuple[MpcSolution, Array, Array]:
+    if getattr(engine, "shooting", "single") == "multiple":
+        sol, z_f, y_f = sqp_mod.solve_nonlinear_ms(
+            system, tuning, engine, x0, warm_z, warm_y
+        )
+        z_next, y_next = sqp_mod.shift_warm_ms(
+            z_f, y_f, tuning.horizon, system.nx, system.nu
+        )
+        return sol, z_next, y_next
     sol, u_f, y_f = sqp_mod.solve_nonlinear(system, tuning, engine, x0, warm_z, warm_y)
     u_next = sqp_mod.shift_warm(u_f, tuning.horizon, system.nu)
     return sol, u_next, y_f

@@ -52,14 +52,27 @@ HIGHEST = jax.lax.Precision.HIGHEST
 
 @dataclasses.dataclass(frozen=True)
 class SqpConfig:
+    # "single": condensed rollout SQP (the reference roadmap's missing
+    # variant, CHANGELOG.md); "multiple": per-step state decision variables
+    # with dynamics as equality rows — the reference's own transcription
+    # (fnn/mpc_modeler_implementation_fnn.jl:110-143), solved on the sparse
+    # LTV Riccati KKT machinery (ops/riccati_ltv.py). Multiple shooting is
+    # the robust choice for open-loop-unstable / stiff learned dynamics,
+    # where a single-shooting rollout explodes.
+    shooting: str = "single"
     max_sqp_iter: int = 12
     damping: float = 1e-4
     line_search_alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1)
     soft_state_penalty: float = 1e4  # L1 slack penalty on state boxes
     terminal_penalty: float = 1e4  # merit penalty on terminal-set violation
+    defect_penalty: float = 1e4  # merit penalty on shooting defects (MS)
     tol_du: float = 1e-5
     feas_tol: float = 1e-4  # constraint-violation gate on STATUS_CONVERGED
     scaling_iters: int = 2
+    # multiple-shooting inner subproblem: fixed ADMM budget + consensus rho
+    # (None = auto: matched to the input-weight scale like ops/riccati.py)
+    ms_admm_iters: int = 120
+    ms_rho: Optional[float] = None
     admm: admm_ops.AdmmConfig = admm_ops.AdmmConfig(
         max_iter=150, eps_abs=1e-6, eps_rel=1e-6, adaptive=True
     )
@@ -76,31 +89,65 @@ class SqpEngine:
     terminal_kind: str = static_field()
     n_terminal_rows: int = static_field()
     m_total: int = static_field()
+    shooting: str = static_field()
 
 
 def build_engine(system, tuning, config: Optional[SqpConfig]) -> SqpEngine:
     config = config or SqpConfig()
+    if config.shooting not in ("single", "multiple"):
+        raise ValueError(
+            f"unknown shooting {config.shooting!r}; available: single|multiple"
+        )
     N, nx, nu = tuning.horizon, system.nx, system.nu
     kind = tuning.terminal.kind
+    if config.shooting == "multiple":
+        if kind == "neighborhood":
+            raise ValueError(
+                "multiple shooting supports terminal kinds "
+                "none/equality/contractive (H-rep rows are not "
+                "box/ball-representable per state block); use "
+                "shooting='single' for neighborhood sets"
+            )
+        import numpy as _np
+
+        if _np.any(_np.asarray(tuning.weights.S) != 0.0):
+            raise ValueError(
+                "multiple shooting requires S=0 (the Δu coupling breaks the "
+                "block-tridiagonal KKT); use shooting='single'"
+            )
     if kind == "equality" or kind == "contractive":
         n_term = nx
     elif kind == "neighborhood":
         n_term = int(tuning.terminal.H.shape[0])
     else:
         n_term = 0
-    m = N * nu + (N * nx if tuning.state_constraint else 0) + n_term
+    if config.shooting == "multiple":
+        # consensus duals on every state node + every input
+        m = (N + 1) * nx + N * nu
+    else:
+        m = N * nu + (N * nx if tuning.state_constraint else 0) + n_term
     return SqpEngine(
         config=config,
         state_rows=bool(tuning.state_constraint),
         terminal_kind=kind,
         n_terminal_rows=n_term,
         m_total=m,
+        shooting=config.shooting,
     )
 
 
 def initial_warm_state(engine: SqpEngine, tuning) -> Tuple[Array, Array]:
-    """Warm start: u trajectory = input reference; duals = 0."""
+    """Warm start: u trajectory = input reference; duals = 0.
+
+    Multiple shooting also carries the STATE iterate in warm_z (the state
+    trajectory is a decision variable there); it initializes at the state
+    reference — no rollout, which is exactly what makes the method usable
+    on unstable dynamics."""
     u0 = tuning.references.u.T.reshape(-1)  # (N*nu,) raw inputs
+    if engine.shooting == "multiple":
+        x0 = tuning.references.x.T.reshape(-1)  # ((N+1)*nx,) raw states
+        wz = jnp.concatenate([u0, x0]).astype(jnp.float32)
+        return wz, jnp.zeros((engine.m_total,), jnp.float32)
     y0 = jnp.zeros((engine.m_total,), jnp.float32)
     return u0, y0
 
@@ -363,3 +410,204 @@ def shift_warm(u_flat: Array, N: int, nu: int) -> Array:
     """Receding-horizon warm-start shift: drop step 0, repeat the last."""
     us = u_flat.reshape(N, nu)
     return jnp.concatenate([us[1:], us[-1:]], axis=0).reshape(-1)
+
+
+def _defects(system, Xb: Array, Ub: Array) -> Array:
+    """Multiple-shooting defects c_k = f(x̄_k, ū_k) − x̄_{k+1} (N, nx)."""
+    fvals = jax.vmap(lambda x, u: system.apply_fn(system.params, x, u))(
+        Xb[:-1], Ub
+    )
+    return fvals - Xb[1:]
+
+
+def _merit_ms(engine: SqpEngine, tuning, system, Xb: Array, Ub: Array) -> Array:
+    """Multiple-shooting line-search merit: true objective + L1 penalties on
+    the shooting defects and on state-box / terminal violations. Unlike the
+    single-shooting merit, states here are decision variables — feasibility
+    of the dynamics is part of the merit, not implicit in a rollout."""
+    cfg = engine.config
+    J = true_objective(tuning, Xb, Ub)
+    J = J + cfg.defect_penalty * jnp.sum(jnp.abs(_defects(system, Xb, Ub)))
+    if engine.state_rows:
+        J = J + cfg.soft_state_penalty * jnp.sum(
+            jax.nn.relu(system.X.lo - Xb[1:]) + jax.nn.relu(Xb[1:] - system.X.hi)
+        )
+    ex_last = Xb[-1] - tuning.references.x[:, -1]
+    if engine.terminal_kind == "equality":
+        J = J + cfg.terminal_penalty * jnp.sum(jnp.abs(ex_last))
+    elif engine.terminal_kind == "contractive":
+        ex0 = Xb[0] - tuning.references.x[:, 0]
+        J = J + cfg.terminal_penalty * jax.nn.relu(
+            jnp.sum(ex_last**2) - 0.9 * jnp.sum(ex0**2)
+        )
+    return J
+
+
+def solve_nonlinear_ms(
+    system,
+    tuning,
+    engine: SqpEngine,
+    x0: Array,
+    warm_z: Array,  # (N*nu + (N+1)*nx,) flat (Ū, X̄) iterate
+    warm_y: Array,  # ((N+1)*nx + N*nu,) flat (lamX, lamU) consensus duals
+):
+    """Multiple-shooting SQP solve (the reference's own transcription,
+    fnn/mpc_modeler_implementation_fnn.jl:110-143: per-step state variables
+    + dynamics equality constraints). Each outer iteration linearizes the
+    dynamics along the (X̄, Ū) iterate — which need NOT satisfy them — and
+    solves the sparse LTV Gauss-Newton subproblem on the block-tridiagonal
+    Riccati KKT (ops/riccati_ltv.py). Robust where single shooting is not:
+    an open-loop-unstable model's rollout (and its condensed QP) explodes
+    with the horizon, while the defect formulation stays conditioned.
+
+    Returns (MpcSolution, z_final_flat, y_final)."""
+    from ..ops import riccati_ltv
+
+    cfg = engine.config
+    N = tuning.horizon
+    nx, nu = system.nx, system.nu
+    dt = jnp.float32
+    w = tuning.weights
+    refs: References = tuning.references
+    x0 = jnp.asarray(x0, dt)
+
+    rho = (
+        jnp.maximum(2.0 * jnp.mean(jnp.diag(w.R.astype(dt))), 1e-6)
+        if cfg.ms_rho is None
+        else jnp.asarray(cfg.ms_rho, dt)
+    )
+    split_interior = engine.state_rows
+    kind = engine.terminal_kind
+    split_terminal = split_interior or kind in ("equality", "contractive")
+
+    eye_x = jnp.eye(nx, dtype=dt)
+    eye_u = jnp.eye(nu, dtype=dt)
+    Qb = 2.0 * w.Q.astype(dt) + cfg.damping * eye_x
+    if split_interior:
+        Qb = Qb + rho * eye_x
+    QbT = 2.0 * tuning.terminal.P.astype(dt) + cfg.damping * eye_x
+    if split_terminal:
+        QbT = QbT + rho * eye_x
+    Rb = 2.0 * w.R.astype(dt) + (cfg.damping) * eye_u + rho * eye_u
+
+    Ub0 = warm_z[: N * nu].reshape(N, nu).astype(dt)
+    Xb0 = warm_z[N * nu :].reshape(N + 1, nx).astype(dt).at[0].set(x0)
+    lamX0 = warm_y[: (N + 1) * nx].reshape(N + 1, nx).astype(dt)
+    lamU0 = warm_y[(N + 1) * nx :].reshape(N, nu).astype(dt)
+
+    ex0 = x0 - refs.x[:, 0]
+    ball_r = jnp.sqrt(0.9) * jnp.linalg.norm(ex0)
+    alphas = jnp.asarray(cfg.line_search_alphas, dt)
+    f = lambda x, u: system.apply_fn(system.params, x, u)
+
+    def sqp_step(Xb, Ub, lamX, lamU):
+        As, Bs = jax.vmap(
+            lambda x, u: jax.jacfwd(f, argnums=(0, 1))(x, u)
+        )(Xb[:-1], Ub)
+        cs = _defects(system, Xb, Ub)
+        ex = Xb - refs.x.T  # (N+1, nx)
+        eu = Ub - refs.u.T
+
+        factors = riccati_ltv.ltv_factorize(As, Bs, cs, Qb, Rb, QbT)
+        lq_nodes = jnp.zeros((N + 1, nx), dt)
+        lq_nodes = lq_nodes.at[1:-1].set(
+            2.0 * jnp.matmul(ex[1:-1], w.Q.astype(dt), precision=HIGHEST)
+        )
+        lq_nodes = lq_nodes.at[-1].set(
+            2.0 * tuning.terminal.P.astype(dt) @ ex[-1]
+        )
+        lu0 = 2.0 * jnp.matmul(eu, w.R.astype(dt), precision=HIGHEST)
+
+        u_lo = system.U.lo.astype(dt)[None] - Ub
+        u_hi = system.U.hi.astype(dt)[None] - Ub
+        x_lo = x_hi = None
+        if split_interior:
+            x_lo = system.X.lo.astype(dt)[None] - Xb[1:-1]
+            x_hi = system.X.hi.astype(dt)[None] - Xb[1:-1]
+        xN_lo = xN_hi = ball_c = None
+        if kind == "equality":
+            xN_lo = xN_hi = -ex[-1]
+        elif kind == "contractive":
+            ball_c = ex[-1]
+        elif split_terminal:
+            xN_lo = system.X.lo.astype(dt) - Xb[-1]
+            xN_hi = system.X.hi.astype(dt) - Xb[-1]
+
+        dX, dU, lamXn, lamUn, rp = riccati_ltv.solve_ms_qp(
+            factors, lq_nodes, lu0, u_lo, u_hi, x_lo, x_hi,
+            xN_lo, xN_hi, ball_c, ball_r, lamX, lamU, rho,
+            int(cfg.ms_admm_iters),
+        )
+
+        def cand_merit(a):
+            Xc = Xb + a * dX
+            Uc = jnp.clip(Ub + a * dU, system.U.lo, system.U.hi)
+            return _merit_ms(engine, tuning, system, Xc, Uc), Xc, Uc
+
+        merits, Xcands, Ucands = jax.vmap(cand_merit)(alphas)
+        merit0 = _merit_ms(engine, tuning, system, Xb, Ub)
+        all_m = jnp.concatenate([merits, merit0[None]])
+        all_X = jnp.concatenate([Xcands, Xb[None]], axis=0)
+        all_U = jnp.concatenate([Ucands, Ub[None]], axis=0)
+        best = jnp.argmin(all_m)
+        X_new, U_new = all_X[best], all_U[best]
+        du_norm = jnp.maximum(
+            jnp.max(jnp.abs(X_new - Xb)), jnp.max(jnp.abs(U_new - Ub))
+        )
+        return X_new, U_new, lamXn, lamUn, du_norm
+
+    def body(carry):
+        Xb, Ub, lamX, lamU, it, done = carry
+        Xn, Un, lamXn, lamUn, du_norm = sqp_step(Xb, Ub, lamX, lamU)
+        return (Xn, Un, lamXn, lamUn, it + 1, du_norm < cfg.tol_du)
+
+    def cond(carry):
+        _, _, _, _, it, done = carry
+        return (~done) & (it < cfg.max_sqp_iter)
+
+    Xb, Ub, lamX, lamU, it_f, done_f = jax.lax.while_loop(
+        cond,
+        body,
+        (Xb0, Ub0, lamX0, lamU0, jnp.asarray(0, jnp.int32), jnp.asarray(False)),
+    )
+
+    ex = Xb - refs.x.T
+    eu = Ub - refs.u.T
+    # honest status: measured violation includes the shooting defects — an
+    # iterate whose states do not close the dynamics must not report
+    # "converged, residual 0"
+    viol = jnp.max(jnp.abs(_defects(system, Xb, Ub)))
+    viol = jnp.maximum(viol, _violation(engine, tuning, system, Xb))
+    status = jnp.where(
+        done_f & (viol <= cfg.feas_tol), STATUS_CONVERGED, STATUS_MAX_ITER
+    ).astype(jnp.int32)
+    sol = MpcSolution(
+        x=Xb.T,
+        e_x=ex.T,
+        u=Ub.T,
+        e_u=eu.T,
+        status=status,
+        iterations=it_f,
+        primal_residual=viol.astype(dt),
+        dual_residual=jnp.asarray(0.0, dt),
+        objective=true_objective(tuning, Xb, Ub),
+    )
+    z_f = jnp.concatenate([Ub.reshape(-1), Xb.reshape(-1)])
+    y_f = jnp.concatenate([lamX.reshape(-1), lamU.reshape(-1)])
+    return sol, z_f, y_f
+
+
+def shift_warm_ms(z_flat: Array, y_flat: Array, N: int, nx: int, nu: int):
+    """Receding-horizon shift of the multiple-shooting carry: inputs,
+    state iterate and consensus duals each drop step 0 / repeat the last."""
+    U = z_flat[: N * nu].reshape(N, nu)
+    X = z_flat[N * nu :].reshape(N + 1, nx)
+    lamX = y_flat[: (N + 1) * nx].reshape(N + 1, nx)
+    lamU = y_flat[(N + 1) * nx :].reshape(N, nu)
+    U_s = jnp.concatenate([U[1:], U[-1:]], axis=0)
+    X_s = jnp.concatenate([X[1:], X[-1:]], axis=0)
+    lamX_s = jnp.concatenate([lamX[1:], lamX[-1:]], axis=0)
+    lamU_s = jnp.concatenate([lamU[1:], lamU[-1:]], axis=0)
+    z = jnp.concatenate([U_s.reshape(-1), X_s.reshape(-1)])
+    y = jnp.concatenate([lamX_s.reshape(-1), lamU_s.reshape(-1)])
+    return z, y

@@ -91,7 +91,39 @@ def invariant_terminal_set(
         M = M @ Acl
     H = np.vstack(H_rows)
     b = np.concatenate(b_rows)
-    return H, b
+    return _remove_redundant_rows(H, b)
+
+
+def _remove_redundant_rows(
+    H: np.ndarray, b: np.ndarray, tol: float = 1e-9
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact LP redundancy removal (design-time, host): row i is redundant
+    iff max{H_i e : H_{j≠i} e <= b_{j≠i}} <= b_i. The interval-arithmetic
+    pruning inside the accumulation loop is only an outer bound — it keeps
+    ~4x more rows than the minimal H-rep on the QTP golden config; the LP
+    pass reproduces the reference's InvariantSets.jl minimal description
+    (the 21 golden rows of terminal_ingredient_test.jl:395-431)."""
+    try:
+        from scipy.optimize import linprog
+    except ImportError:  # scipy is a test/design-time dep; keep the set
+        return H, b
+
+    keep = np.ones(len(b), bool)
+    for i in range(len(b)):
+        mask = keep.copy()
+        mask[i] = False
+        if not np.any(mask):
+            continue
+        res = linprog(
+            -H[i],
+            A_ub=H[mask],
+            b_ub=b[mask],
+            bounds=[(None, None)] * H.shape[1],
+            method="highs",
+        )
+        if res.status == 0 and -res.fun <= b[i] + tol:
+            keep[i] = False
+    return H[keep], b[keep]
 
 
 def create_terminal_ingredient(

@@ -146,12 +146,13 @@ def admm_diag_model(n: int, m: int, batch: int) -> Dict[str, float]:
 def _tier_model(op, config, batch: int, iterations: float) -> Dict[str, float]:
     """(padded/useful flops, bytes) for one solver tier executing
     ``iterations`` lockstep iterations over ``batch`` lanes."""
-    from ..ops.admm_pallas import _BLOCK
+    from ..ops.admm_pallas import _pick_block
 
     n = int(op.K_invs.shape[1])
     m = int(op.A_s.shape[0])
     R = int(op.rho_grid.shape[0])
-    block = min(batch, _BLOCK)
+    refine = int(getattr(config, "refine_steps", 0))
+    block = batch if batch < 8 else _pick_block(batch, n, m, R, refine)
     n_blocks = max(1, batch // block)
     chunk = max(1, int(config.check_interval))
     n_chunks = max(1.0, float(iterations) / chunk)

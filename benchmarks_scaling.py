@@ -18,12 +18,15 @@ Two efficiencies are reported per mesh size:
   but is meaningless as an ICI prediction once n exceeds the core count.
 - ``sharding_overhead_efficiency`` = throughput(sharded, n devices) /
   throughput(unsharded single-device program, same total batch). Both
-  programs contend for the same host cores, so the ratio isolates what
-  sharding itself costs (shard_map partitioning + psum collectives +
-  per-shard dispatch). This is the honest CPU-measurable predictor of
-  real-chip scaling efficiency: on a pod slice each shard has its own
-  chip, and only this overhead term survives. BASELINE's ≥0.8 target is
-  judged against this number.
+  programs contend for the same host cores, so the ratio mostly reflects
+  what sharding itself costs (shard_map partitioning + psum collectives +
+  per-shard dispatch) — but host threading/timing variance is of the same
+  order as that overhead here, so single measurements can land above 1.0.
+  The reported value is clamped to 1.0 and carries a measured noise band
+  (``noise_band`` = spread over repeats of the unsharded control); treat
+  "≈1.0 within the band" as "sharding overhead below measurement noise",
+  not as a precise ICI-efficiency prediction — real ≥2-host DCN numbers
+  need real hardware (BASELINE's ≥0.8 row).
 
 Must run in its own process (device-count flags are read at backend init):
 ``python benchmarks_scaling.py [out.json]``. benchmarks_suite.py invokes it
@@ -116,8 +119,13 @@ def main(out_path="BENCH_SCALING.json"):
         solve_u = jax.jit(
             lambda x, z, y: parallel.solve_batch_fused(controller, x, z, y)
         )
-        dt_u, _ = _timeit(lambda: solve_u(x0s, wz, wy))
-        shard_eff = dt_u / dt  # = tput / tput_unsharded
+        dts_u = [_timeit(lambda: solve_u(x0s, wz, wy))[0] for _ in range(3)]
+        dt_u = float(np.median(dts_u))
+        raw_shard_eff = dt_u / dt  # = tput / tput_unsharded
+        # clamp at 1.0: >1 means the control program's timing noise exceeds
+        # the sharding overhead, not that sharding speeds up same-core work
+        shard_eff = min(raw_shard_eff, 1.0)
+        noise_band = (max(dts_u) - min(dts_u)) / dt_u
 
         rows.append(
             {
@@ -130,6 +138,8 @@ def main(out_path="BENCH_SCALING.json"):
                     "horizon": HORIZON,
                     "scaling_efficiency": round(eff, 3),
                     "sharding_overhead_efficiency": round(shard_eff, 3),
+                    "sharding_overhead_efficiency_raw": round(raw_shard_eff, 3),
+                    "noise_band": round(noise_band, 3),
                     "unsharded_solves_per_sec": round(B / dt_u, 1),
                     "host_cores": host_cores,
                     "core_starved": n_dev > host_cores,

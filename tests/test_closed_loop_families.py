@@ -20,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import automationlabsmodelpredictivecontrol_jl_tpu as mpc
 from automationlabsmodelpredictivecontrol_jl_tpu import parallel
 from automationlabsmodelpredictivecontrol_jl_tpu.benchmarks import qtp, training

@@ -164,6 +164,7 @@ def test_cross_method_first_input_consistency(family):
 
 
 @pytest.mark.parametrize("family", MILP_FAMILIES)
+@pytest.mark.slow
 def test_design_and_solve_milp_method(family):
     """'mixed_linear' = exact big-M ReLU transcription + branch-and-bound
     (reference SCIP path, fnn/...:193-330). Optimality cross-check: the

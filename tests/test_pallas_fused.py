@@ -55,3 +55,28 @@ def test_fused_rejects_contractive(controller):
     )
     with pytest.raises(ValueError, match="ball rows"):
         parallel.solve_batch_fused(c, _x0s(8))
+
+
+def test_fused_perr_path_matches_reference_engine():
+    """Large-n problems route to the per-rho kernel variant (the packed
+    blockdiag operator would exceed VMEM); results must match the jax
+    engine the same way the packed path does."""
+    from automationlabsmodelpredictivecontrol_jl_tpu.ops import admm_pallas
+
+    sys = qtp.linearized_discrete_system()
+    from automationlabsmodelpredictivecontrol_jl_tpu.ops.admm import AdmmConfig
+
+    c = mpc.proceed_controller(
+        sys, "model_predictive_control", 70, 5.0,
+        np.full(4, 0.65), np.full(2, 1.2), engine="condensed",
+        admm_config=AdmmConfig(max_iter=2000, refine_steps=1),
+    )
+    n = c.engine.op.A_s.shape[1]
+    m = c.engine.op.A_s.shape[0]
+    R = int(c.engine.op.rho_grid.shape[0])
+    assert not admm_pallas._use_packed(n, m, R)  # exercises the per-r path
+    x0s = _x0s(8, seed=3)
+    sol_ref, _, _, _ = parallel.solve_batch(c, x0s)
+    sol_f, _, _, diag_f = parallel.solve_batch_fused(c, x0s)
+    assert int(diag_f.n_converged) == 8
+    np.testing.assert_allclose(np.asarray(sol_f.u), np.asarray(sol_ref.u), atol=5e-4)

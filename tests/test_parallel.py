@@ -107,6 +107,7 @@ def test_riccati_fused_batch_matches_vmap(riccati_controller):
     np.testing.assert_allclose(np.asarray(wy_f), np.asarray(wy_v), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_riccati_sharded_fused(riccati_controller):
     """solve_sharded auto-routes the Riccati engine through the fused Pallas
     kernel inside shard_map (VERDICT r1 item 2: multi-chip fast path)."""
@@ -119,6 +120,7 @@ def test_riccati_sharded_fused(riccati_controller):
     assert int(diag_s.n_converged) == 16
 
 
+@pytest.mark.slow
 def test_condensed_sharded_fused_matches_general(controller):
     """The condensed engine's sharded path also rides the fused kernel by
     default and must agree with the general engine."""

@@ -117,3 +117,25 @@ def test_long_horizon_scaling():
     assert int(status) == 0
     # inputs respect the box
     assert float(jnp.max(U)) <= float(jnp.max(op.u_hi)) + 1e-4
+
+
+def test_parallel_sweeps_match_sequential():
+    """The Hillis-Steele parallel-in-time sweep evaluates the same affine
+    recurrences as the sequential lax.scan (RiccatiConfig.parallel_sweeps);
+    solutions and iteration counts must agree."""
+    import dataclasses
+
+    from automationlabsmodelpredictivecontrol_jl_tpu.ops import riccati as rops
+
+    cfg = rops.RiccatiConfig(max_iter=600)
+    _, op = _setup(24, state_constraint=True, config=cfg)
+    e0 = jnp.asarray([-0.05, 0.02, -0.04, 0.03], jnp.float32)
+    outs = {}
+    for ps in (False, True):
+        c = dataclasses.replace(cfg, parallel_sweeps=ps)
+        X, U, status, it, rp, rd, _ = rops.solve_sparse(op, e0, config=c)
+        outs[ps] = (X, U, status, it)
+    np.testing.assert_allclose(
+        np.asarray(outs[True][1]), np.asarray(outs[False][1]), atol=1e-4
+    )
+    assert int(outs[True][2]) == int(outs[False][2]) == 0
