@@ -78,18 +78,22 @@ def train_family(
     lr: float = 5e-3,
     seed: int = 0,
     activation: str = None,
+    nx: int = 4,
+    nu: int = 2,
+    sample_time: float = qtp.SAMPLE_TIME,
 ) -> Tuple[Callable, Any, float]:
     """Fit one zoo family to the transition dataset by full-batch Adam.
 
     Returns (apply_fn, trained params, final one-step RMSE). The integrator
-    families (neuralode / rknn*) get dt = the QTP sample time so the learned
-    vector field is in physical units.
+    families (neuralode / rknn*) get dt = ``sample_time`` so the learned
+    vector field is in physical units. Defaults are the QTP fixture shapes;
+    pass (nx, nu, sample_time) for other plants (benchmarks/unstable.py).
     """
     X, U, XN = data
     key = jax.random.PRNGKey(seed)
     apply_fn, params = zoo.init_model(
-        family, key, 4, 2, hidden=hidden, depth=depth,
-        activation=activation, sample_time=qtp.SAMPLE_TIME,
+        family, key, nx, nu, hidden=hidden, depth=depth,
+        activation=activation, sample_time=sample_time,
     )
     batched = jax.vmap(apply_fn, in_axes=(None, 0, 0))
 
