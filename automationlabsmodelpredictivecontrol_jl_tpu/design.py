@@ -81,10 +81,14 @@ class RiccatiEngine:
 
 
 # horizon at which design's engine="auto" switches the linear path from the
-# condensed O((N nu)^2) engine to the O(N) Riccati engine. Measured on QTP
-# (nx=4, nu=2): per-iteration FLOPs cross near N~45; compile + per-iteration
-# HBM traffic favor the sparse engine a bit earlier on TPU.
-RICCATI_AUTO_HORIZON = 40
+# condensed O((N nu)^2) engine to the O(N) Riccati engine. MEASURED on TPU
+# v5e (QTP nx=4/nu=2, B=2048-4096, auto rho, round 3): the condensed engine
+# wins every horizon up to 400 (h200: 11.7k vs 5.2k solves/s; h400: 3.3k vs
+# 2.9k) and the O(N) engine takes over by 800 (1.42k vs 0.71k — 2x); the
+# interpolated per-iteration crossover sits near N~500. The flop-count
+# estimate that put this at 40 in round 2 ignored how well XLA pipelines
+# the big condensed GEMMs vs the Riccati sweeps' sequential dependency.
+RICCATI_AUTO_HORIZON = 500
 
 
 def riccati_supported(terminal_kind: str, S, soft_state_penalty) -> bool:

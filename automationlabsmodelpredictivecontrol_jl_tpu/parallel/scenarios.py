@@ -271,13 +271,18 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = SCENARIO_AXIS) -> Mes
 
 
 def fused_supported(controller: MpcController) -> bool:
-    """True when the controller's engine has a Pallas-fused batch kernel:
-    condensed LinearEngine without ball/soft rows, or any RiccatiEngine."""
-    from ..design import LinearEngine, RiccatiEngine
+    """True when the controller's engine should DEFAULT to its Pallas-fused
+    batch kernel: condensed LinearEngine without ball/soft rows.
+
+    The Riccati engine's fused kernel exists (ops/riccati_pallas.py,
+    reachable explicitly via solve_batch_fused) but is NOT the default:
+    measured on TPU v5e (QTP, B=4096, auto rho) the plain vmapped engine
+    beats it at every horizon (h50: 20.2k vs 14.9k; h100: 12.8k vs 7.6k;
+    h200: 5.2k vs 3.8k solves/s) — XLA pipelines the shared-gain sweep
+    GEMMs better than the in-kernel sequential loop."""
+    from ..design import LinearEngine
 
     eng = controller.engine
-    if isinstance(eng, RiccatiEngine):
-        return True
     if isinstance(eng, LinearEngine):
         return eng.soft_mu is None and eng.op.n_ball == 0
     return False

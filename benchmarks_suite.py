@@ -163,7 +163,12 @@ def main():
     x0s_lh = jnp.asarray(
         np.clip(0.65 + 0.1 * rng.standard_normal((B, 4)), 0.3, 1.3), np.float32
     )
-    for N in (50, 100, 200):
+    # Both engines x both execution paths (Pallas-fused kernel vs the plain
+    # vmapped XLA engine): on TPU the better path flips with the config —
+    # the fused kernel wins lean/small-n setups, XLA's own pipelining wins
+    # heavy rho-grids and very large n (where the kernel also hits VMEM
+    # limits). Emitting both keeps the routing claims data-backed.
+    for N in (50, 100, 200, 400):
         for engine_name in ("condensed", "riccati"):
             kw = dict(admm_config=AdmmConfig(max_iter=1000))
             if engine_name == "riccati":
@@ -176,26 +181,32 @@ def main():
                 engine=engine_name, **kw,
             )
             wz, wy = parallel.init_warm_batch(c6, B)
-            try:
-                solve6 = jax.jit(
-                    lambda x, z, y, c=c6: parallel.solve_batch_fused(c, x, z, y)
+            for path in ("fused", "vmap"):
+                fn = (
+                    parallel.solve_batch_fused
+                    if path == "fused"
+                    else parallel.solve_batch
                 )
-                dt, (_, _, _, diag) = _timeit(lambda: solve6(x0s_lh, wz, wy), reps=3)
-            except Exception as exc:  # VMEM overflow etc: vmap engine
-                print(f"# {engine_name} h{N} fused failed ({type(exc).__name__}); vmap path")
-                solve6 = jax.jit(
-                    lambda x, z, y, c=c6: parallel.solve_batch(c, x, z, y)
+                try:
+                    solve6 = jax.jit(lambda x, z, y, c=c6, f=fn: f(c, x, z, y))
+                    dt, (_, _, _, diag) = _timeit(
+                        lambda: solve6(x0s_lh, wz, wy), reps=3
+                    )
+                except Exception as exc:  # VMEM overflow etc.
+                    print(
+                        f"# {engine_name} h{N} {path} failed "
+                        f"({type(exc).__name__})"
+                    )
+                    continue
+                emit(
+                    f"linear_mpc_{engine_name}_{path}_h{N}",
+                    B / dt,
+                    B,
+                    {
+                        "converged_fraction": round(int(diag.n_converged) / B, 4),
+                        "mean_iterations": round(float(diag.mean_iterations), 1),
+                    },
                 )
-                dt, (_, _, _, diag) = _timeit(lambda: solve6(x0s_lh, wz, wy), reps=3)
-            emit(
-                f"linear_mpc_{engine_name}_h{N}",
-                B / dt,
-                B,
-                {
-                    "converged_fraction": round(int(diag.n_converged) / B, 4),
-                    "mean_iterations": round(float(diag.mean_iterations), 1),
-                },
-            )
 
     n_dev = len(jax.devices())
     if n_dev > 1:

@@ -89,7 +89,9 @@ def riccati_controller():
 
 def test_fused_supported_dispatch(controller, riccati_controller):
     assert parallel.fused_supported(controller)
-    assert parallel.fused_supported(riccati_controller)
+    # the Riccati engine defaults to its (measured-faster) vmapped path;
+    # the Pallas kernel stays reachable via solve_batch_fused / fused=True
+    assert not parallel.fused_supported(riccati_controller)
     soft = mpc.proceed_controller(
         qtp.linearized_discrete_system(), "model_predictive_control", 5, 5.0,
         np.full(4, 0.65), np.full(2, 1.2), mpc_soft_state_constraint=10.0,
@@ -109,11 +111,14 @@ def test_riccati_fused_batch_matches_vmap(riccati_controller):
 
 @pytest.mark.slow
 def test_riccati_sharded_fused(riccati_controller):
-    """solve_sharded auto-routes the Riccati engine through the fused Pallas
-    kernel inside shard_map (VERDICT r1 item 2: multi-chip fast path)."""
+    """The Riccati engine's fused Pallas kernel still runs inside shard_map
+    when requested explicitly (the vmapped engine is the measured-faster
+    default — see fused_supported)."""
     mesh = parallel.make_mesh(8)
     x0s = _x0_batch(16, seed=3)
-    sol_s, _, _, diag_s = parallel.solve_sharded(riccati_controller, x0s, mesh)
+    sol_s, _, _, diag_s = parallel.solve_sharded(
+        riccati_controller, x0s, mesh, fused=True
+    )
     sol_b, _, _, _ = parallel.solve_batch_fused(riccati_controller, x0s)
     np.testing.assert_allclose(np.asarray(sol_s.u), np.asarray(sol_b.u), atol=2e-4)
     assert int(diag_s.n_total) == 16

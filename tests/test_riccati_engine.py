@@ -39,17 +39,22 @@ def test_design_routes_riccati():
     sys = qtp.linearized_discrete_system()
     c = mpc.design_controller(sys, 10, 5.0, X_REF, U_REF, engine="riccati")
     assert isinstance(c.engine, mpc.RiccatiEngine)
-    # auto crossover: long horizons get the sparse engine
-    c_long = mpc.design_controller(sys, 60, 5.0, X_REF, U_REF)
+    # auto crossover: horizons past the MEASURED threshold (design.py
+    # RICCATI_AUTO_HORIZON = 500, TPU v5e data) get the sparse engine
+    c_long = mpc.design_controller(
+        sys, mpc.design.RICCATI_AUTO_HORIZON + 10, 5.0, X_REF, U_REF
+    )
     assert isinstance(c_long.engine, mpc.RiccatiEngine)
-    c_short = mpc.design_controller(sys, 10, 5.0, X_REF, U_REF)
+    c_short = mpc.design_controller(sys, 60, 5.0, X_REF, U_REF)
     assert isinstance(c_short.engine, mpc.LinearEngine)
     # unsupported features raise when forced, fall back under auto
     with pytest.raises(ValueError, match="riccati"):
         mpc.design_controller(
             sys, 10, 5.0, X_REF, U_REF, engine="riccati", S=0.5
         )
-    c_s = mpc.design_controller(sys, 60, 5.0, X_REF, U_REF, S=0.5)
+    c_s = mpc.design_controller(
+        sys, mpc.design.RICCATI_AUTO_HORIZON + 10, 5.0, X_REF, U_REF, S=0.5
+    )
     assert isinstance(c_s.engine, mpc.LinearEngine)
 
 
