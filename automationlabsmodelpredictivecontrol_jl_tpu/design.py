@@ -402,7 +402,9 @@ def _design_controller_impl(
         warm_z = jnp.zeros((n,), jnp.float32)
         warm_y = jnp.zeros((m,), jnp.float32)
     else:
-        engine = sqp_mod.build_engine(sys_d, tuning, sqp_config)
+        engine = sqp_mod.build_engine(
+            sys_d, tuning, sqp_config, soft_state_penalty=soft_state_penalty
+        )
         warm_z, warm_y = sqp_mod.initial_warm_state(engine, tuning)
 
     return MpcController(

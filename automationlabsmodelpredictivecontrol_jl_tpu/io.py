@@ -128,6 +128,9 @@ def _engine_spec(controller: MpcController) -> Dict[str, Any]:
 
     if isinstance(eng, SqpEngine):
         spec["sqp_config"] = _config_to_json(eng.config)
+        if eng.soft_boxes:
+            # user-soft boxes: restore the honest-status gate semantics
+            spec["soft_state_penalty"] = float(eng.config.soft_state_penalty)
     elif isinstance(eng, EmpcEngine):
         raise ValueError(
             "economic controllers carry arbitrary Python cost callables and "

@@ -246,6 +246,10 @@ def update_references(
 
         if isinstance(eng, SqpEngine):
             kwargs["sqp_config"] = eng.config
+            if eng.soft_boxes:
+                # keep the user-soft box semantics (and honest-status gate)
+                # across the re-design round trip
+                kwargs["soft_state_penalty"] = eng.config.soft_state_penalty
         elif isinstance(eng, EmpcEngine):
             kwargs["economic_cost"] = eng.cost_fn
             kwargs["economic_terminal_cost"] = eng.terminal_cost_fn

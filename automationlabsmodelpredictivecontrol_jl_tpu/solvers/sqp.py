@@ -90,10 +90,25 @@ class SqpEngine:
     n_terminal_rows: int = static_field()
     m_total: int = static_field()
     shooting: str = static_field()
+    # True when the USER declared the state boxes soft
+    # (mpc_soft_state_constraint=<penalty>, main.py:89-97): box violation
+    # is then a priced objective term, not a feasibility failure — the
+    # honest-status gate only measures the hard constraints. False keeps
+    # the default semantics (soft_state_penalty=1e4 approximates the
+    # reference's HARD state boxes; violation blocks STATUS_CONVERGED).
+    soft_boxes: bool = static_field(default=False)
 
 
-def build_engine(system, tuning, config: Optional[SqpConfig]) -> SqpEngine:
+def build_engine(
+    system, tuning, config: Optional[SqpConfig], soft_state_penalty=None
+) -> SqpEngine:
     config = config or SqpConfig()
+    if soft_state_penalty is not None:
+        # user-declared soft boxes: their L1 price replaces the quasi-hard
+        # default in the subproblem rows and the line-search merit
+        config = dataclasses.replace(
+            config, soft_state_penalty=float(soft_state_penalty)
+        )
     if config.shooting not in ("single", "multiple"):
         raise ValueError(
             f"unknown shooting {config.shooting!r}; available: single|multiple"
@@ -133,6 +148,7 @@ def build_engine(system, tuning, config: Optional[SqpConfig]) -> SqpEngine:
         n_terminal_rows=n_term,
         m_total=m,
         shooting=config.shooting,
+        soft_boxes=soft_state_penalty is not None,
     )
 
 
@@ -204,14 +220,16 @@ def true_objective(tuning, xs: Array, us: Array) -> Array:
 
 
 def _violation(engine: SqpEngine, tuning, system, xs: Array) -> Array:
-    """Max constraint violation of a rolled-out trajectory: state boxes +
-    the terminal set (inputs are clipped to their box, so always 0).
-    Surfaced as the solution's primal residual — a line-search-stalled
-    iterate with violated boxes must never report "converged, residual 0"
-    (the status blindness this framework exists to fix,
-    computation_mpc.jl:38-55)."""
+    """Max HARD-constraint violation of a rolled-out trajectory: state
+    boxes (unless the user declared them soft — engine.soft_boxes — in
+    which case their violation is a priced objective term, not a
+    feasibility failure) + the terminal set (inputs are clipped to their
+    box, so always 0). Surfaced as the solution's primal residual — a
+    line-search-stalled iterate with violated hard boxes must never report
+    "converged, residual 0" (the status blindness this framework exists to
+    fix, computation_mpc.jl:38-55)."""
     viol = jnp.asarray(0.0, xs.dtype)
-    if engine.state_rows:
+    if engine.state_rows and not engine.soft_boxes:
         viol = jnp.max(
             jax.nn.relu(system.X.lo - xs[1:]) + jax.nn.relu(xs[1:] - system.X.hi)
         )

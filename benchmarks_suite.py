@@ -86,12 +86,14 @@ def main():
         )
 
     # ---- config 3: Fnn nonlinear MPC (SQP) -----------------------------
-    key = jax.random.PRNGKey(0)
-    apply_fn, params = mpc.init_model("fnn", key, 4, 2, hidden=16, depth=2)
-    sys_fnn = mpc.NeuralDiscreteSystem(
-        apply_fn=apply_fn, family="fnn", nx=4, nu=2, params=params,
-        X=qtp.X_BOX, U=qtp.U_BOX,
-    )
+    # Trained models (benchmarks/training.py), not random inits: on a
+    # random net the state boxes are unattainable, so the honest SQP
+    # status gate (solvers/sqp.py feas_tol) correctly reports 0%
+    # convergence — a meaningless MPC problem to benchmark.
+    from automationlabsmodelpredictivecontrol_jl_tpu.benchmarks import training
+
+    data = training.generate_qtp_dataset(n_traj=48, n_steps=30, seed=0)
+    sys_fnn, rmse_fnn = training.trained_system("fnn", data)
     B = 256
     c3 = mpc.proceed_controller(
         sys_fnn, "model_predictive_control", 10, 5.0, x_ref, u_ref,
@@ -107,19 +109,17 @@ def main():
         "nonlinear_mpc_fnn_sqp_h10",
         B / dt,
         B,
-        {"converged_fraction": round(int(diag.n_converged) / B, 4)},
+        {
+            "converged_fraction": round(int(diag.n_converged) / B, 4),
+            "model_rmse": round(rmse_fnn, 5),
+        },
     )
 
     # ---- config 4: ResNet + soft state constraints ---------------------
-    apply_fn, params = mpc.init_model("resnet", jax.random.PRNGKey(1), 4, 2,
-                                      hidden=16, depth=2)
-    sys_res = mpc.NeuralDiscreteSystem(
-        apply_fn=apply_fn, family="resnet", nx=4, nu=2, params=params,
-        X=qtp.X_BOX, U=qtp.U_BOX,
-    )
+    sys_res, rmse_res = training.trained_system("resnet", data, seed=1)
     c4 = mpc.proceed_controller(
         sys_res, "model_predictive_control", 10, 5.0, x_ref, u_ref,
-        mpc_state_constraint=True,
+        mpc_soft_state_constraint=10.0,
         sqp_config=SqpConfig(max_sqp_iter=8),
     )
     wz, wy = parallel.init_warm_batch(c4, B)
@@ -129,7 +129,10 @@ def main():
         "nonlinear_mpc_resnet_soft_h10",
         B / dt,
         B,
-        {"converged_fraction": round(int(diag.n_converged) / B, 4)},
+        {
+            "converged_fraction": round(int(diag.n_converged) / B, 4),
+            "model_rmse": round(rmse_res, 5),
+        },
     )
 
     # ---- config 5: 10k scenarios + scaling efficiency ------------------
@@ -159,16 +162,19 @@ def main():
         RiccatiConfig,
     )
 
-    B = 4096
-    x0s_lh = jnp.asarray(
-        np.clip(0.65 + 0.1 * rng.standard_normal((B, 4)), 0.3, 1.3), np.float32
-    )
     # Both engines x both execution paths (Pallas-fused kernel vs the plain
     # vmapped XLA engine): on TPU the better path flips with the config —
     # the fused kernel wins lean/small-n setups, XLA's own pipelining wins
     # heavy rho-grids and very large n (where the kernel also hits VMEM
-    # limits). Emitting both keeps the routing claims data-backed.
-    for N in (50, 100, 200, 400):
+    # limits). Emitting both keeps the routing claims data-backed. N=800
+    # (smaller batch — the condensed operator is O((N nu)^2) in HBM) backs
+    # the measured RICCATI_AUTO_HORIZON=500 crossover (design.py).
+    for N in (50, 100, 200, 400, 800):
+        B = 4096 if N <= 200 else 1024
+        x0s_lh = jnp.asarray(
+            np.clip(0.65 + 0.1 * rng.standard_normal((B, 4)), 0.3, 1.3),
+            np.float32,
+        )
         for engine_name in ("condensed", "riccati"):
             kw = dict(admm_config=AdmmConfig(max_iter=1000))
             if engine_name == "riccati":

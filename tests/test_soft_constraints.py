@@ -61,6 +61,43 @@ def test_soft_matches_hard_when_inactive():
     np.testing.assert_allclose(np.asarray(sol_s.u), np.asarray(sol_h.u), atol=1e-3)
 
 
+def test_soft_boxes_nonlinear_path():
+    """mpc_soft_state_constraint reaches the SQP engine: the user's L1
+    price replaces the quasi-hard 1e4 default, and the honest-status gate
+    stops counting box violation as a feasibility failure (it is a priced
+    objective term). From x0 above the box ceiling the early states
+    violate the box no matter what the inputs do: the hard-box default
+    must refuse STATUS_CONVERGED, the user-soft controller must report it
+    (with the violation still priced by the merit)."""
+    A, B = qtp.linearized_discrete_system().A, qtp.linearized_discrete_system().B
+    sys_nl = mpc.user_function_system(
+        lambda x, u: A @ x + B @ u, 4, 2, qtp.X_BOX, qtp.U_BOX
+    )
+    x0 = jnp.asarray([1.5, 1.5, 1.4, 1.4], jnp.float32)
+
+    hard = mpc.proceed_controller(
+        sys_nl, "model_predictive_control", 8, 5.0, X_REF, U_REF,
+        mpc_state_constraint=True,
+    )
+    assert not hard.engine.soft_boxes
+    hard, sol_h = mpc.step(hard, x0)
+    assert int(sol_h.status) != mpc.STATUS_CONVERGED
+    assert float(sol_h.primal_residual) > hard.engine.config.feas_tol
+
+    soft = mpc.proceed_controller(
+        sys_nl, "model_predictive_control", 8, 5.0, X_REF, U_REF,
+        mpc_soft_state_constraint=5.0,
+    )
+    assert soft.engine.soft_boxes
+    assert soft.engine.config.soft_state_penalty == 5.0  # not the 1e4 default
+    soft, sol_s = mpc.step(soft, x0)
+    assert int(sol_s.status) == mpc.STATUS_CONVERGED
+    # soft semantics survive the re-design and checkpoint round trips
+    soft2 = mpc.update_references(soft, np.full(4, 0.7), np.full(2, 1.25))
+    assert soft2.engine.soft_boxes
+    assert soft2.engine.config == soft.engine.config
+
+
 def test_update_and_compute_semantics():
     """Repaired update_and_compute!: reference change + solve in one call."""
     sys = qtp.linearized_discrete_system()
