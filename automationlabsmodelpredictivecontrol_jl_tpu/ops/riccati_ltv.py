@@ -150,6 +150,9 @@ def solve_ms_qp(
     lamU0: Array,  # (N, nu)
     rho: Array,
     iters: int,
+    soft_mu: Optional[float] = None,
+    terminal_is_box: bool = False,  # xN rows are the plain state box (not
+    # a terminal-equality pin): they follow the soft/hard box choice
 ):
     """Fixed-iteration consensus ADMM on the multiple-shooting subproblem
     (the inner loop of one SQP iteration — masked convergence happens at the
@@ -157,6 +160,11 @@ def solve_ms_qp(
 
     Splitting mirrors ops/riccati.py solve_sparse: w = (δX, δU) via the LTV
     affine solve; v = per-block projections; node 0 (δx_0 = 0) never splits.
+    ``soft_mu``: user-declared soft state boxes (mpc_soft_state_constraint):
+    the state-box projection becomes the prox of the L1 distance penalty
+    mu·dist(v, box) — shrink toward the box by mu/rho instead of clipping
+    onto it (the same semantics as the linear path's shrinkage prox,
+    ops/admm.py soft_mu). Inputs and the contractive ball stay hard.
     Returns (δX, δU, lamX, lamU, rp)."""
     N1, nx = lq_nodes.shape
     N = N1 - 1
@@ -171,10 +179,16 @@ def solve_ms_qp(
     lq_int = lq_nodes[1:-1]  # (N-1, nx) nodes 1..N-1... rows 1..N-1
     lq_term = lq_nodes[-1]
 
+    def _box_prox(V, lo, hi):
+        if soft_mu is None:
+            return jnp.clip(V, lo, hi)
+        k = soft_mu / rho
+        return V - jnp.clip(V - jnp.clip(V, lo, hi), -k, k)
+
     def project_X(V):
         out = V
         if split_interior:
-            out = out.at[1:-1].set(jnp.clip(V[1:-1], x_lo, x_hi))
+            out = out.at[1:-1].set(_box_prox(V[1:-1], x_lo, x_hi))
         if ball:
             w = V[-1] + ball_c
             nrm = jnp.linalg.norm(w)
@@ -183,7 +197,12 @@ def solve_ms_qp(
             )
             out = out.at[-1].set(w * scale - ball_c)
         elif xN_lo is not None:
-            out = out.at[-1].set(jnp.clip(V[-1], xN_lo, xN_hi))
+            # terminal equality rows (xN_lo == xN_hi) stay exact; a plain
+            # terminal state box follows the user's soft/hard choice
+            if terminal_is_box:
+                out = out.at[-1].set(_box_prox(V[-1], xN_lo, xN_hi))
+            else:
+                out = out.at[-1].set(jnp.clip(V[-1], xN_lo, xN_hi))
         return out
 
     dX0 = jnp.zeros((N + 1, nx), dt)

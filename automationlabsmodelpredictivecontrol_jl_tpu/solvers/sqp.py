@@ -555,6 +555,10 @@ def solve_nonlinear_ms(
             factors, lq_nodes, lu0, u_lo, u_hi, x_lo, x_hi,
             xN_lo, xN_hi, ball_c, ball_r, lamX, lamU, rho,
             int(cfg.ms_admm_iters),
+            soft_mu=(
+                float(cfg.soft_state_penalty) if engine.soft_boxes else None
+            ),
+            terminal_is_box=(kind not in ("equality", "contractive")),
         )
 
         def cand_merit(a):

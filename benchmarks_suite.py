@@ -59,6 +59,9 @@ def main():
             line.update(extras)
         results.append(line)
         print(json.dumps(line), flush=True)
+        # incremental flush: a timeout mid-suite keeps the completed rows
+        with open("BENCH_SUITE.json", "w") as f:
+            json.dump(results, f, indent=1)
 
     # ---- config 2: terminal ingredients --------------------------------
     # x0 spread is small: the QTP linearization is weakly reachable

@@ -98,6 +98,40 @@ def test_soft_boxes_nonlinear_path():
     assert soft2.engine.config == soft.engine.config
 
 
+def test_soft_boxes_multiple_shooting():
+    """Soft boxes are uniform across transcriptions: under
+    shooting="multiple" the consensus state prox becomes the L1 shrinkage
+    (ops/riccati_ltv.py soft_mu) instead of a hard clip, and the honest
+    gate accepts the priced violation — same contract as single shooting
+    and the linear path."""
+    from automationlabsmodelpredictivecontrol_jl_tpu.solvers.sqp import SqpConfig
+
+    A, B = qtp.linearized_discrete_system().A, qtp.linearized_discrete_system().B
+    sys_nl = mpc.user_function_system(
+        lambda x, u: A @ x + B @ u, 4, 2, qtp.X_BOX, qtp.U_BOX
+    )
+    x0 = jnp.asarray([1.5, 1.5, 1.4, 1.4], jnp.float32)
+
+    hard = mpc.proceed_controller(
+        sys_nl, "model_predictive_control", 8, 5.0, X_REF, U_REF,
+        mpc_state_constraint=True, sqp_config=SqpConfig(shooting="multiple"),
+    )
+    hard, sol_h = mpc.step(hard, x0)
+    assert int(sol_h.status) != mpc.STATUS_CONVERGED
+
+    soft = mpc.proceed_controller(
+        sys_nl, "model_predictive_control", 8, 5.0, X_REF, U_REF,
+        mpc_soft_state_constraint=5.0,
+        sqp_config=SqpConfig(shooting="multiple"),
+    )
+    assert soft.engine.soft_boxes and soft.engine.shooting == "multiple"
+    soft, sol_s = mpc.step(soft, x0)
+    assert int(sol_s.status) == mpc.STATUS_CONVERGED
+    # the planned trajectory still steers into the box by the horizon end
+    x_end = np.asarray(sol_s.x[:, -1])
+    assert (x_end <= np.asarray(qtp.X_BOX.hi) + 0.05).all()
+
+
 def test_update_and_compute_semantics():
     """Repaired update_and_compute!: reference change + solve in one call."""
     sys = qtp.linearized_discrete_system()
