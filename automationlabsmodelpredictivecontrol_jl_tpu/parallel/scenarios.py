@@ -272,7 +272,19 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = SCENARIO_AXIS) -> Mes
 
 def fused_supported(controller: MpcController) -> bool:
     """True when the controller's engine should DEFAULT to its Pallas-fused
-    batch kernel: condensed LinearEngine without ball/soft rows.
+    batch kernel — a *measured* routing rule, not a capability check (the
+    kernel itself handles every condensed shape; solve_batch_fused stays
+    reachable explicitly either way).
+
+    Condensed LinearEngine (no ball/soft rows): fused by default. Measured
+    exception (TPU v5e, QTP, B=8192, equal-iteration comparison): with a
+    wide rho grid AND iterative refinement the vmapped XLA engine wins by
+    ~10% in a narrow mid-size band — R=5/refine=1 gives vmap 56.4k vs
+    fused 51.6k at n=30, 52.7k vs 47.5k at n=40 — while fused wins outside
+    it (n=10: 95.9k vs 71.0k; n=100: 40.9k vs 30.1k; n=200: 24.6k vs
+    20.5k) and wins every lean config at every n (R=2/refine=0 n=40:
+    124.9k vs 67.7k; n=100: 119.1k vs 52.8k). Hence: route to vmap only
+    for R >= 4 with refine_steps >= 1 and 24 <= n <= 64.
 
     The Riccati engine's fused kernel exists (ops/riccati_pallas.py,
     reachable explicitly via solve_batch_fused) but is NOT the default:
@@ -284,8 +296,30 @@ def fused_supported(controller: MpcController) -> bool:
 
     eng = controller.engine
     if isinstance(eng, LinearEngine):
-        return eng.soft_mu is None and eng.op.n_ball == 0
+        if eng.soft_mu is not None or eng.op.n_ball != 0:
+            return False
+        R = int(eng.op.rho_grid.shape[0])
+        rs = int(eng.config.refine_steps)
+        n = int(eng.op.A_s.shape[1])
+        if R >= 4 and rs >= 1 and 24 <= n <= 64:
+            return False  # measured vmap win (see docstring table)
+        return True
     return False
+
+
+def solve_batch_auto(
+    controller: MpcController,
+    x0s: Array,
+    warm_z: Optional[Array] = None,
+    warm_y: Optional[Array] = None,
+) -> Tuple[MpcSolution, Array, Array, BatchDiagnostics]:
+    """Batch solve on the measured-fastest execution path for this
+    controller's engine and config shape (:func:`fused_supported`): the
+    Pallas-fused kernel where it wins, the vmapped XLA engine elsewhere.
+    Same contract as :func:`solve_batch`."""
+    if fused_supported(controller):
+        return solve_batch_fused(controller, x0s, warm_z, warm_y)
+    return solve_batch(controller, x0s, warm_z, warm_y)
 
 
 def solve_sharded(
@@ -304,9 +338,10 @@ def solve_sharded(
 
     ``fused`` routes each shard's local batch through the Pallas-fused
     kernel (ops/admm_pallas.py / ops/riccati_pallas.py) instead of the
-    vmapped general engine. Default: auto — fused whenever the engine
-    supports it (:func:`fused_supported`), so the multi-chip path runs the
-    same fast kernel as the single-chip headline.
+    vmapped general engine. Default: auto — the measured routing rule
+    (:func:`fused_supported`), so the auto path equals max(fused, vmap)
+    at every shipped shape and no default route hides a faster
+    alternative.
     """
     mesh = mesh or make_mesh()
     axis = mesh.axis_names[0]
@@ -449,7 +484,7 @@ def solve_batch_escalated(
 
     B = x0s.shape[0]
     bucket = min(bucket, B)
-    sol, wz, wy, _ = solve_batch_fused(controller, x0s, warm_z, warm_y)
+    sol, wz, wy, _ = solve_batch_auto(controller, x0s, warm_z, warm_y)
 
     bad = (sol.status == 1) | (sol.status == 4)
     # stable partition: unconverged lanes first (False sorts before True)
@@ -470,6 +505,11 @@ def solve_batch_escalated(
         # tier 2 restarts those lanes from the original warm pair
         z0, y0 = warm_z[gidx], warm_y[gidx]
 
+    # tier 2 pins the fused kernel regardless of the fused_supported band
+    # carve-out: the carve-out was measured at fleet batch (B=8192) where
+    # the vmapped engine's per-iteration dispatches amortize; at bucket
+    # scale (<=256 lanes) routing tier 2 through vmap measured -12% on the
+    # headline (987k -> 872k solves/s, batch p50 39.6 -> 81.2 ms).
     sol2, wz2, wy2, _ = solve_batch_fused(fallback, x0s[gidx], z0, y0)
     # tier-2 iteration counts continue tier 1's
     sol2 = sol2.replace(iterations=sol2.iterations + sol.iterations[gidx])

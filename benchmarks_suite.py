@@ -59,8 +59,11 @@ def main():
             line.update(extras)
         results.append(line)
         print(json.dumps(line), flush=True)
-        # incremental flush: a timeout mid-suite keeps the completed rows
-        with open("BENCH_SUITE.json", "w") as f:
+        # incremental flush to a TEMP file only: a timeout mid-suite keeps
+        # the partial rows inspectable without overwriting the committed
+        # artifact with an amalgam of partial runs (ADVICE r3) — the real
+        # BENCH_SUITE.json is renamed into place only on suite completion.
+        with open("BENCH_SUITE.json.partial", "w") as f:
             json.dump(results, f, indent=1)
 
     # ---- config 2: terminal ingredients --------------------------------
@@ -234,6 +237,10 @@ def main():
 
     with open("BENCH_SUITE.json", "w") as f:
         json.dump(results, f, indent=1)
+    import os
+
+    if os.path.exists("BENCH_SUITE.json.partial"):
+        os.remove("BENCH_SUITE.json.partial")
 
 
 if __name__ == "__main__":

@@ -124,6 +124,31 @@ def test_sqp_config_roundtrip(tmp_path):
     assert c2.engine.config == scfg
 
 
+def test_soft_sqp_roundtrip(tmp_path):
+    """User-soft state boxes on the SQP engine survive a checkpoint round
+    trip (ADVICE r3: the io.py _engine_spec change had no test): both the
+    soft_boxes flag and the priced penalty must be restored, and the
+    restored controller must solve identically."""
+    sys = mpc.make_system(
+        "fnn", jax.random.PRNGKey(6), 4, 2, qtp.X_BOX, qtp.U_BOX,
+        hidden=6, depth=1, activation="tanh",
+    )
+    c = mpc.design_controller(
+        sys, 5, 5.0, np.full(4, 0.65), np.full(2, 1.2),
+        state_constraint=True, soft_state_penalty=42.0,
+    )
+    assert c.engine.soft_boxes
+    path = os.path.join(tmp_path, "soft_sqp.npz")
+    save_controller(path, c)
+    c2 = load_controller(path)
+    assert c2.engine.soft_boxes
+    assert c2.engine.config.soft_state_penalty == 42.0
+    assert c2.engine.config == c.engine.config
+    _, sol_a = mpc.step(c, jnp.full(4, 0.6))
+    _, sol_b = mpc.step(c2, jnp.full(4, 0.6))
+    np.testing.assert_array_equal(np.asarray(sol_b.u), np.asarray(sol_a.u))
+
+
 def test_empc_save_refused(tmp_path):
     import pytest
 

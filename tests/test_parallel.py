@@ -99,6 +99,36 @@ def test_fused_supported_dispatch(controller, riccati_controller):
     assert not parallel.fused_supported(soft)
 
 
+def test_fused_routing_shape_aware():
+    """The measured routing carve-out (TPU v5e table in fused_supported):
+    wide-grid + refined configs in the mid-size band route to the vmapped
+    engine; lean grids and sizes outside the band stay on the fused
+    kernel. solve_batch_auto follows the rule and keeps the solve_batch
+    contract."""
+    from automationlabsmodelpredictivecontrol_jl_tpu.ops.admm import AdmmConfig
+
+    sys = qtp.linearized_discrete_system()
+    mk = lambda N, cfg: mpc.proceed_controller(
+        sys, "model_predictive_control", N, 5.0, np.full(4, 0.65),
+        np.full(2, 1.2), engine="condensed", admm_config=cfg,
+    )
+    wide = AdmmConfig(max_iter=200)  # R=5 grid, refine_steps=1
+    lean = AdmmConfig(max_iter=200, rho=1.0, rho_grid=(1.0, 10.0),
+                      refine_steps=0)
+    c_band = mk(20, wide)  # n=40: inside the measured vmap band
+    assert not parallel.fused_supported(c_band)
+    assert parallel.fused_supported(mk(20, lean))  # lean grid: fused
+    assert parallel.fused_supported(mk(5, wide))  # n=10 < band: fused
+    assert parallel.fused_supported(mk(50, wide))  # n=100 > band: fused
+
+    x0s = _x0_batch(4, seed=3)
+    sol_a, wz_a, wy_a, diag = parallel.solve_batch_auto(c_band, x0s)
+    sol_v, wz_v, wy_v, _ = parallel.solve_batch(c_band, x0s)
+    assert int(diag.n_total) == 4
+    np.testing.assert_array_equal(np.asarray(sol_a.u), np.asarray(sol_v.u))
+    np.testing.assert_array_equal(np.asarray(wy_a), np.asarray(wy_v))
+
+
 def test_riccati_fused_batch_matches_vmap(riccati_controller):
     x0s = _x0_batch(8)
     sol_v, wz_v, wy_v, d_v = parallel.solve_batch(riccati_controller, x0s)
