@@ -205,6 +205,32 @@ def build_operator(
     )
 
 
+def newton_schulz_inverse(K: Array, iters: int = 18) -> Array:
+    """MXU-only inverse of a (well-posed) small square matrix.
+
+    Newton-Schulz iteration X <- X (2I - K X) from the classic
+    X0 = K' / (||K||_1 ||K||_inf) seed: quadratically convergent, and —
+    unlike jnp.linalg.inv's column-sequential LU — composed purely of
+    dense matmuls, which is what a vmapped batch of small factorizations
+    needs on TPU (the LU path was the SQP design loop's hottest op).
+    ``iters`` covers condition numbers up to ~1e5 to f32 accuracy
+    (residual contracts like (1 - 1/kappa)^(2^k)); downstream ADMM
+    refine_steps and the exact residual diagnostics keep statuses honest
+    regardless.
+    """
+    n = K.shape[-1]
+    eye = jnp.eye(n, dtype=K.dtype)
+    n1 = jnp.max(jnp.sum(jnp.abs(K), axis=-2))
+    ninf = jnp.max(jnp.sum(jnp.abs(K), axis=-1))
+    X0 = K.T / jnp.maximum(n1 * ninf, 1e-30)
+
+    def body(_, X):
+        KX = jnp.matmul(K, X, precision=HIGHEST)
+        return jnp.matmul(X, 2.0 * eye - KX, precision=HIGHEST)
+
+    return jax.lax.fori_loop(0, iters, body, X0)
+
+
 def build_operator_traced(
     P: Array,
     A: Array,
@@ -212,15 +238,23 @@ def build_operator_traced(
     n_ball: int = 0,
     config: AdmmConfig = AdmmConfig(),
     scaling_iters: int = 3,
+    identity_A: bool = False,
 ) -> AdmmOperator:
     """jit/vmap-friendly operator build (traced, float32).
 
     Used where the QP matrices are themselves traced values — e.g. the LTV
     Gauss-Newton subproblems inside the SQP loop, re-built every outer
-    iteration. Runs a few Ruiz sweeps in jnp and factorizes K with
-    jnp.linalg.inv (batched small dense inverse — fine on the MXU).
+    iteration. Runs a few Ruiz sweeps in jnp and factorizes K with the
+    MXU-only Newton-Schulz inverse (jnp.linalg.inv lowers to a
+    column-sequential LU — slow for a vmapped batch of small matrices).
     eq_row_mask must be a *static* numpy bool array (row structure is
     static even when values are traced).
+
+    ``identity_A=True`` declares A == I statically (the box-only SQP
+    subproblem: input boxes on the decision variables, nothing else);
+    Ruiz equilibration is skipped — with identity rows it only rescales
+    what the rho grid already absorbs — saving several sweeps of
+    reductions per SQP iteration.
     """
     dt = jnp.float32
     P_s = jnp.asarray(P, dt)
@@ -231,7 +265,7 @@ def build_operator_traced(
     c = jnp.asarray(1.0, dt)
     if n_ball:
         ball_sel = jnp.zeros((m,), bool).at[m - n_ball :].set(True)
-    for _ in range(scaling_iters):
+    for _ in range(0 if identity_A else scaling_iters):
         col_norm = jnp.maximum(
             jnp.max(jnp.abs(P_s), axis=0), jnp.max(jnp.abs(A_s), axis=0)
         )
@@ -265,8 +299,11 @@ def build_operator_traced(
         np.minimum(np.where(eq, config.rho * config.rho_eq_scale, config.rho), 1e3),
         dt,
     )
-    K = P_s + config.sigma * jnp.eye(n, dtype=dt) + (A_s.T * rho_vec) @ A_s
-    K_inv = jnp.linalg.inv(K)
+    if identity_A:
+        K = P_s + (config.sigma + rho_vec) * jnp.eye(n, dtype=dt)
+    else:
+        K = P_s + config.sigma * jnp.eye(n, dtype=dt) + (A_s.T * rho_vec) @ A_s
+    K_inv = newton_schulz_inverse(K)
     return AdmmOperator(
         P_s=P_s,
         A_s=A_s,

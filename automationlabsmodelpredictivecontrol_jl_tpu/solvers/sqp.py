@@ -61,6 +61,15 @@ class SqpConfig:
     # where a single-shooting rollout explodes.
     shooting: str = "single"
     max_sqp_iter: int = 12
+    # Jacobian freezing (single shooting): the first `full_jacobian_iters`
+    # outer iterations relinearize + refactorize the Gauss-Newton operator
+    # (jacfwd -> LTV condense -> K factorization); later iterations reuse
+    # the frozen operator and only rebuild the gradient/rhs from the
+    # CURRENT rollout — a quasi-Newton tail. Near the solution du is small,
+    # so the stale Jacobian costs extra (cheap) iterations at most, while
+    # the line-search merit and the final status gate always measure the
+    # TRUE rollout, so honesty is unaffected. 0 disables freezing.
+    full_jacobian_iters: int = 3
     damping: float = 1e-4
     line_search_alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1)
     soft_state_penalty: float = 1e4  # L1 slack penalty on state boxes
@@ -73,8 +82,14 @@ class SqpConfig:
     # (None = auto: matched to the input-weight scale like ops/riccati.py)
     ms_admm_iters: int = 120
     ms_rho: Optional[float] = None
+    # refine_steps=0: the subproblem K_inv comes from the MXU Newton-Schulz
+    # inverse at ~f32 exactness (condition numbers are tamed by the
+    # Levenberg damping + rho shift), so the per-iteration refinement
+    # matvecs buy nothing here — unlike the weakly-convex condensed linear
+    # path, which keeps its refinement.
     admm: admm_ops.AdmmConfig = admm_ops.AdmmConfig(
-        max_iter=150, eps_abs=1e-6, eps_rel=1e-6, adaptive=True
+        max_iter=150, eps_abs=1e-6, eps_rel=1e-6, adaptive=True,
+        refine_steps=0,
     )
 
 
@@ -307,100 +322,148 @@ def solve_nonlinear(
     u_lo = jnp.tile(system.U.lo.astype(dt), N)
     u_hi = jnp.tile(system.U.hi.astype(dt), N)
 
-    def sqp_step(u_flat, y):
+    # box-only subproblem (input boxes on z, no state/terminal rows):
+    # A is statically the identity — skip Ruiz in the operator build
+    ident = (not engine.state_rows) and engine.terminal_kind == "none"
+
+    def build_parts(u_flat, xs):
+        """Relinearize + refactorize the Gauss-Newton operator at the
+        current iterate — the expensive phase (jacfwd, LTV condense, K
+        factorization); frozen after cfg.full_jacobian_iters."""
         us = u_flat.reshape(N, nu)
-        xs = _rollout(system, x0, us)
         As, Bs = _trajectory_jacobians(system, xs, us)
         F, G, _ = ltv_prediction_matrices(As, Bs)
         G_flat = G.transpose(0, 2, 1, 3).reshape(N * nx, N * nu)
-
-        ebar = (xs[1:] - xref_tail).reshape(-1)  # (N*nx,)
-        eu_bar = u_flat - uref_stack
-
         GtQ = jnp.matmul(G_flat.T, Qbar, precision=HIGHEST)
         P_qp = 2.0 * (
             jnp.matmul(GtQ, G_flat, precision=HIGHEST) + Rbar + DSD
         ) + 2.0 * cfg.damping * jnp.eye(n, dtype=dt)
-        q = 2.0 * (GtQ @ ebar + Rbar @ eu_bar + Dop.T @ (Sbar @ (Dop @ u_flat)))
 
         rows_A = [jnp.eye(n, dtype=dt)]
+        if engine.state_rows:
+            rows_A.append(G_flat)
+        if engine.terminal_kind == "equality":
+            rows_A.append(G_flat[-nx:])
+        elif engine.terminal_kind == "neighborhood":
+            H = tuning.terminal.H.astype(dt)
+            rows_A.append(jnp.matmul(H, G_flat[-nx:], precision=HIGHEST))
+        elif engine.terminal_kind == "contractive":
+            rows_A.append(G_flat[-nx:])
+        A_qp = jnp.concatenate(rows_A, axis=0)
+        op = admm_ops.build_operator_traced(
+            P_qp, A_qp, eq_mask, n_ball, cfg.admm, cfg.scaling_iters,
+            identity_A=ident,
+        )
+        return op, G_flat, GtQ
+
+    def solve_sub(parts, u_flat, xs, y):
+        """One SQP iteration on a given (possibly frozen) operator: rebuild
+        the gradient/rhs from the CURRENT rollout, solve the QP, line
+        search on the true merit."""
+        op, G_flat, GtQ = parts
+        us = u_flat.reshape(N, nu)
+        ebar = (xs[1:] - xref_tail).reshape(-1)  # (N*nx,)
+        eu_bar = u_flat - uref_stack
+        q = 2.0 * (GtQ @ ebar + Rbar @ eu_bar + Dop.T @ (Sbar @ (Dop @ u_flat)))
+
         rows_l = [u_lo - u_flat]
         rows_u = [u_hi - u_flat]
         if engine.state_rows:
             xs_tail = xs[1:].reshape(-1)
-            rows_A.append(G_flat)
             rows_l.append(jnp.tile(system.X.lo.astype(dt), N) - xs_tail)
             rows_u.append(jnp.tile(system.X.hi.astype(dt), N) - xs_tail)
         ball_c = jnp.zeros((0,), dt)
         ball_r = jnp.asarray(0.0, dt)
         ex_last = ebar[-nx:]
         if engine.terminal_kind == "equality":
-            rows_A.append(G_flat[-nx:])
             rows_l.append(-ex_last)
             rows_u.append(-ex_last)
         elif engine.terminal_kind == "neighborhood":
             H = tuning.terminal.H.astype(dt)
-            rows_A.append(jnp.matmul(H, G_flat[-nx:], precision=HIGHEST))
             rows_l.append(jnp.full((H.shape[0],), -jnp.inf, dt))
             rows_u.append(tuning.terminal.b.astype(dt) - H @ ex_last)
         elif engine.terminal_kind == "contractive":
-            rows_A.append(G_flat[-nx:])
             rows_l.append(jnp.full((nx,), -jnp.inf, dt))
             rows_u.append(jnp.full((nx,), jnp.inf, dt))
             ball_c = ex_last
             ex0 = x0 - refs.x[:, 0]
             ball_r = jnp.sqrt(0.9) * jnp.linalg.norm(ex0)
 
-        A_qp = jnp.concatenate(rows_A, axis=0)
         l = jnp.concatenate(rows_l, axis=0)
         ub = jnp.concatenate(rows_u, axis=0)
-
-        op = admm_ops.build_operator_traced(
-            P_qp, A_qp, eq_mask, n_ball, cfg.admm, cfg.scaling_iters
-        )
         res = admm_ops.solve(
             op, q, l, ub, ball_c, ball_r, None, y, config=cfg.admm, soft_mu=soft_mu
         )
         du = res.z.reshape(N, nu)
 
-        # branchless parallel line search (alpha = 0 candidate included)
+        # branchless parallel line search (alpha = 0 candidate included);
+        # each candidate's rollout is kept so the winner's trajectory is
+        # carried to the next iteration instead of being re-rolled
         def cand_merit(a):
             uc = jnp.clip(us + a * du, system.U.lo, system.U.hi)
             xc = _rollout(system, x0, uc)
-            return _merit(engine, tuning, system, xc, uc), uc
+            return _merit(engine, tuning, system, xc, uc), uc, xc
 
-        merits, ucands = jax.vmap(cand_merit)(alphas)
+        merits, ucands, xcands = jax.vmap(cand_merit)(alphas)
         merit0 = _merit(engine, tuning, system, xs, us)
         all_merits = jnp.concatenate([merits, merit0[None]])
         all_cands = jnp.concatenate([ucands, us[None]], axis=0)
-        u_new = all_cands[jnp.argmin(all_merits)]
+        all_xs = jnp.concatenate([xcands, xs[None]], axis=0)
+        best = jnp.argmin(all_merits)
+        u_new = all_cands[best]
         du_norm = jnp.max(jnp.abs(u_new - us))
-        return u_new.reshape(-1), res.y, du_norm, res.status
+        return u_new.reshape(-1), all_xs[best], res.y, du_norm, res.status
 
-    def body(carry):
-        u_flat, y, it, done, status = carry
-        u_new, y_new, du_norm, st = sqp_step(u_flat, y)
-        done_new = du_norm < cfg.tol_du
-        return (u_new, y_new, it + 1, done_new, st)
+    u_warm = u_warm.astype(dt)
+    y_warm = y_warm.astype(dt)
+    xs0 = _rollout(system, x0, u_warm.reshape(N, nu))
 
-    def cond(carry):
-        _, _, it, done, _ = carry
-        return (~done) & (it < cfg.max_sqp_iter)
-
-    u_f, y_f, it_f, done_f, admm_status = jax.lax.while_loop(
-        cond,
-        body,
-        (
-            u_warm.astype(dt),
-            y_warm.astype(dt),
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(False),
-            jnp.asarray(STATUS_MAX_ITER, jnp.int32),
-        ),
+    # Phase 1 — statically unrolled FULL iterations (relinearize +
+    # refactorize each time), masked per lane so iteration counts and
+    # early-exit semantics match the plain while_loop exactly.
+    k_full = min(
+        int(cfg.full_jacobian_iters) or int(cfg.max_sqp_iter),
+        int(cfg.max_sqp_iter),
     )
+    u_f, xs, y_f = u_warm, xs0, y_warm
+    it_f = jnp.asarray(0, jnp.int32)
+    done_f = jnp.asarray(False)
+    admm_status = jnp.asarray(STATUS_MAX_ITER, jnp.int32)
+    parts = None
+    for _ in range(k_full):
+        parts = build_parts(u_f, xs)
+        u2, xs2, y2, du_norm, st = solve_sub(parts, u_f, xs, y_f)
+        keep = done_f
+        u_f = jnp.where(keep, u_f, u2)
+        xs = jnp.where(keep, xs, xs2)
+        y_f = jnp.where(keep, y_f, y2)
+        admm_status = jnp.where(keep, admm_status, st)
+        it_f = it_f + (~keep).astype(jnp.int32)
+        done_f = done_f | (du_norm < cfg.tol_du)
+
+    # Phase 2 — quasi-Newton tail on the FROZEN operator (rhs + line
+    # search only); loop-invariant `parts` rides into the while_loop.
+    if k_full < cfg.max_sqp_iter:
+        if parts is None:
+            parts = build_parts(u_f, xs)
+
+        def body(carry):
+            u_flat, xs_c, y, it, done, status = carry
+            u_new, xs_new, y_new, du_norm, st = solve_sub(
+                parts, u_flat, xs_c, y
+            )
+            done_new = du_norm < cfg.tol_du
+            return (u_new, xs_new, y_new, it + 1, done_new, st)
+
+        def cond(carry):
+            _, _, _, it, done, _ = carry
+            return (~done) & (it < cfg.max_sqp_iter)
+
+        u_f, xs, y_f, it_f, done_f, admm_status = jax.lax.while_loop(
+            cond, body, (u_f, xs, y_f, it_f, done_f, admm_status)
+        )
 
     us = u_f.reshape(N, nu)
-    xs = _rollout(system, x0, us)
     ex = xs - refs.x.T
     eu = us - refs.u.T
     # honest status: tol_du alone cannot see feasibility (the line search
