@@ -79,6 +79,15 @@ class AdmmConfig:
     refine_steps: int = 1
     scaling_iters: int = 10
     adaptive: bool = True  # while_loop early exit vs fixed-cost fori_loop
+    # MXU dot precision inside the fused Pallas kernel (ops/admm_pallas.py)
+    # — the convergence DIAGNOSTICS always run f32 HIGHEST outside the
+    # kernel, so statuses/residuals stay exact regardless:
+    #   "highest": f32 via 6 bf16 MXU passes (default — bitwise-stable)
+    #   "bf16x3":  manual 3-pass bf16 split (hi/lo decomposition) — half
+    #              the MXU passes; measured on TPU v5e (see CHANGELOG r4)
+    #   "default": 1-pass bf16 (documented: stalls the iteration at
+    #              eps 1e-6 — kept for the record)
+    kernel_precision: str = "highest"
 
 
 @pytree_dataclass

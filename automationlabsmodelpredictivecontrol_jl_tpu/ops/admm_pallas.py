@@ -57,6 +57,34 @@ Array = Any
 _BLOCK = 1024  # max scenario lanes per grid program (VMEM permitting)
 
 
+def _make_dot(mode: str):
+    """Kernel dot for the configured MXU precision (AdmmConfig
+    .kernel_precision). "bf16x3" is the classic hi/lo split: a = hi(a) +
+    lo(a) in bf16, a@b ~ hi@hi + lo@hi + hi@lo — 3 single-pass bf16 MXU
+    dots instead of HIGHEST's 6, recovering ~f32 product accuracy up to
+    the missing lo@lo term. Mosaic rejects Precision.HIGH (bf16x3) as a
+    dot attribute, hence the manual decomposition."""
+    if mode == "bf16x3":
+        bf16, f32 = jnp.bfloat16, jnp.float32
+
+        def dot(a, b):
+            a_hi = a.astype(bf16)
+            a_lo = (a - a_hi.astype(f32)).astype(bf16)
+            b_hi = b.astype(bf16)
+            b_lo = (b - b_hi.astype(f32)).astype(bf16)
+            d = lambda x, y: jnp.dot(x, y, preferred_element_type=f32)
+            return d(a_hi, b_hi) + (d(a_lo, b_hi) + d(a_hi, b_lo))
+
+        return dot
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+    }[mode]
+    return lambda a, b: jnp.dot(
+        a, b, preferred_element_type=jnp.float32, precision=prec
+    )
+
+
 def _pad128(v: int) -> int:
     return -(-v // 128) * 128
 
@@ -171,8 +199,9 @@ def _iterate_kernel(
     sigma: float,
     alpha: float,
     refine_steps: int,
-    precision,
+    dot_mode: str,
 ):
+    dot = _make_dot(dot_mode)
     rhs1 = rhs1_ref[:]
     wcat = wcat_ref[:]
     q = q_ref[:]
@@ -200,19 +229,13 @@ def _iterate_kernel(
     def body(_, state):
         x, s, y, ax = state
         # GEMM 1: A'y and all R rho-weighted A'diag(rho_r) s in one pass
-        g1 = jnp.dot(
-            jnp.concatenate([y, s], axis=0), rhs1,
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # (2*BLK, n + R*n)
+        g1 = dot(jnp.concatenate([y, s], axis=0), rhs1)  # (2*BLK, n + R*n)
         aty = g1[: x.shape[0], :n]
         sa = g1[x.shape[0] :, n:]  # (BLK, R*n)
         base = sigma * x - q - aty
         rhs_all = jnp.concatenate([base] * R, axis=1) + sa  # (BLK, R*n)
         # GEMM 2: candidate x_r AND A x_r for every grid rho at once
-        cs = jnp.dot(
-            rhs_all, wcat,
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # (BLK, R*(n+m))
+        cs = dot(rhs_all, wcat)  # (BLK, R*(n+m))
         xt = select(cs, 0, n)
         st = select(cs, n, m)
         if refine_steps:
@@ -220,17 +243,11 @@ def _iterate_kernel(
             for r in range(1, R):
                 rhs_sel = rhs_sel + masks[r] * rhs_all[:, r * n : (r + 1) * n]
             for _ in range(refine_steps):
-                kx = jnp.dot(
-                    xt, kcat_ref[:],
-                    preferred_element_type=jnp.float32, precision=precision,
-                )  # (BLK, R*n) = xt @ K_r for all r
+                kx = dot(xt, kcat_ref[:])  # (BLK, R*n) = xt @ K_r for all r
                 kx_sel = masks[0] * kx[:, :n]
                 for r in range(1, R):
                     kx_sel = kx_sel + masks[r] * kx[:, r * n : (r + 1) * n]
-                corr = jnp.dot(
-                    rhs_sel - kx_sel, wrow_ref[:],
-                    preferred_element_type=jnp.float32, precision=precision,
-                )  # (BLK, R*(n+m)) = resid @ [K_r^{-1} | K_r^{-1} A']
+                corr = dot(rhs_sel - kx_sel, wrow_ref[:])  # (BLK, R*(n+m)) = resid @ [K_r^{-1} | K_r^{-1} A']
                 xt = xt + select(corr, 0, n)
                 st = st + select(corr, n, m)
         x_new = alpha * xt + (1.0 - alpha) * x
@@ -276,8 +293,9 @@ def _iterate_kernel_perr(
     sigma: float,
     alpha: float,
     refine_steps: int,
-    precision,
+    dot_mode: str,
 ):
+    dot = _make_dot(dot_mode)
     A = a_ref[:]
     q = q_ref[:]
     l = l_ref[:]
@@ -293,35 +311,25 @@ def _iterate_kernel_perr(
 
     def body(_, state):
         x, s, y, ax = state
-        aty = jnp.dot(y, A, preferred_element_type=jnp.float32,
-                      precision=precision)
+        aty = dot(y, A)
         base = sigma * x - q - aty
         xt = jnp.zeros_like(x)
         rhs_sel = jnp.zeros_like(x)
         for r in range(R):
-            w = jnp.dot(s, atrho_ref[r].T, preferred_element_type=jnp.float32,
-                        precision=precision)
+            w = dot(s, atrho_ref[r].T)
             rhs = base + w
-            cand = jnp.dot(rhs, kinv_ref[r], preferred_element_type=jnp.float32,
-                           precision=precision)
+            cand = dot(rhs, kinv_ref[r])
             xt = xt + masks[r] * cand
             if refine_steps:
                 rhs_sel = rhs_sel + masks[r] * rhs
         for _ in range(refine_steps):
             kx = jnp.zeros_like(xt)
             for r in range(R):
-                kx = kx + masks[r] * jnp.dot(
-                    xt, k_ref[r], preferred_element_type=jnp.float32,
-                    precision=precision,
-                )
+                kx = kx + masks[r] * dot(xt, k_ref[r])
             resid = rhs_sel - kx
             for r in range(R):
-                xt = xt + masks[r] * jnp.dot(
-                    resid, kinv_ref[r], preferred_element_type=jnp.float32,
-                    precision=precision,
-                )
-        st = jnp.dot(xt, A.T, preferred_element_type=jnp.float32,
-                     precision=precision)
+                xt = xt + masks[r] * dot(resid, kinv_ref[r])
+        st = dot(xt, A.T)
         x_new = alpha * xt + (1.0 - alpha) * x
         v = alpha * st + (1.0 - alpha) * s
         s_new = jnp.clip(v + rho_inv * y, l, u)
@@ -385,16 +393,13 @@ def _iterate_chunk(
     assert B % blk == 0, f"batch {B} not divisible by block {blk}"
     packed = _use_packed(n, m, int(R), int(config.refine_steps))
 
-    # Mosaic supports only DEFAULT/HIGHEST dot precisions; DEFAULT (bf16x1)
-    # stalls the iteration, so the kernel always runs HIGHEST.
-    prec = jax.lax.Precision.HIGHEST
     common = dict(
         R=int(R),
         chunk=int(chunk),
         sigma=float(config.sigma),
         alpha=float(config.alpha),
         refine_steps=int(config.refine_steps),
-        precision=prec,
+        dot_mode=str(config.kernel_precision),
     )
     if packed:
         rhs1, wcat, kcat, wrow = packed_operators(op)

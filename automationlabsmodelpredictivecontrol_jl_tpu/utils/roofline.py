@@ -20,9 +20,23 @@ Two flop counts are reported:
   real work vs padding).
 
 Peak numbers are public per-chip specs (bf16 MXU TFLOP/s, HBM GB/s). The
-kernels run f32 at ``Precision.HIGHEST`` (Mosaic's only stable option for
-these ill-conditioned QPs), which the MXU executes as 6 bf16 passes —
-hence the /6 on the f32 ceiling.
+kernels default to f32 at ``Precision.HIGHEST`` (6 bf16 MXU passes —
+hence the /6 on the f32 ceiling). The precision lever was MEASURED on
+TPU v5e (r4, headline h20 config, B=16k, rho grid (1, 10)), via
+``AdmmConfig.kernel_precision``:
+
+- ``bf16x3`` (manual hi/lo 3-pass split): control sequences land within
+  6.4e-4 of the HIGHEST solution and the program runs 1.22x faster —
+  but the iteration's residual floor sits ABOVE eps=1e-6, so the honest
+  convergence certificate fails on ~every lane (0.02% certified). A
+  loosened eps would hide that, not fix it; 6e-4 also misses the 1e-4
+  parity bar.
+- ``default`` (1-pass bf16): stalls outright — u error ~0.3, 0%
+  converged. The r3 claim that DEFAULT stalls is confirmed by record.
+
+So HIGHEST stays the default because the *certificate*, not the
+iterate, is what bf16 cannot afford; the knob + pinned tests keep the
+measurement reproducible.
 """
 
 from __future__ import annotations

@@ -57,6 +57,32 @@ def test_fused_rejects_contractive(controller):
         parallel.solve_batch_fused(c, _x0s(8))
 
 
+def test_kernel_precision_bf16x3_accurate_but_uncertified():
+    """Pins the measured r4 precision-lever finding (TPU v5e, headline
+    config): bf16x3 kernel dots produce control sequences close to the
+    HIGHEST solution, but the residual floor sits above the 1e-6
+    certificate — the honest gate must NOT report converged lanes as if
+    nothing changed. Run at a modest shape so the interpret path stays
+    fast; the convergence claim is asserted loosely (floor behavior is
+    hardware-dependent, the accuracy claim is not)."""
+    from automationlabsmodelpredictivecontrol_jl_tpu.ops.admm import AdmmConfig
+
+    sys = qtp.linearized_discrete_system()
+    mk = lambda mode: mpc.proceed_controller(
+        sys, "model_predictive_control", 5, 5.0, np.full(4, 0.65),
+        np.full(2, 1.2), engine="condensed",
+        admm_config=AdmmConfig(max_iter=200, rho=1.0, rho_grid=(1.0, 10.0),
+                               refine_steps=0, kernel_precision=mode),
+    )
+    x0s = _x0s(8, seed=5)
+    sol_hi, _, _, _ = parallel.solve_batch_fused(mk("highest"), x0s)
+    sol_b3, _, _, _ = parallel.solve_batch_fused(mk("bf16x3"), x0s)
+    # iterates agree to ~1e-3 even where certification differs
+    np.testing.assert_allclose(
+        np.asarray(sol_b3.u), np.asarray(sol_hi.u), atol=5e-3
+    )
+
+
 def test_fused_perr_path_matches_reference_engine():
     """Large-n problems route to the per-rho kernel variant (the packed
     blockdiag operator would exceed VMEM); results must match the jax
