@@ -13,8 +13,11 @@ convergence diagnostics + OSQP rho adaptation between chunks, so statuses
 and residuals stay exact.
 
 Hard box rows only (the contractive ball block and soft rows stay on the
-jax engine); see pallas_guide.md for the kernel-authoring rules followed
-here (static shapes, f32 min tile (8,128), preferred_element_type).
+jax engine). Kernel-authoring rules followed here: static shapes only,
+operands tiled to the f32 min tile (8, 128), every dot pinned with
+preferred_element_type=f32, lane state resident in VMEM across the whole
+chunk, grid only over the scenario axis (see docs/engines.md for the
+measured routing between this kernel and the vmapped XLA engine).
 
 Kernel v2 — lane-packed GEMMs. MPC QPs are small (n = N*nu, m a few
 hundred at most); a (BLK, n)@(n, n) dot pads n up to the 128-lane tile and

@@ -100,9 +100,20 @@ def solve_batch(
     Returns (solutions with leading batch axis, next warm_z, next warm_y,
     diagnostics). jit-compatible; this is BASELINE config 5's per-chip body.
     """
+    from ..solvers.milp import MilpEngine
+
     B = x0s.shape[0]
     if warm_z is None or warm_y is None:
         warm_z, warm_y = init_warm_batch(controller, B)
+
+    if isinstance(controller.engine, MilpEngine):
+        # host fleet path: the exact-ReLU B&B runs B lanes in parallel OS
+        # threads (native calls release the GIL; solvers/milp.py). Same
+        # 4-tuple contract; the MILP engine carries no warm state.
+        from ..solvers.milp import solve_milp_batch
+
+        sol = solve_milp_batch(controller.engine, controller.tuning, x0s)
+        return sol, warm_z, warm_y, _diagnostics(sol)
 
     sol, wz, wy = jax.vmap(
         lambda x0, z, y: solve_once(controller, x0, z, y)
@@ -661,7 +672,7 @@ def closed_loop_batch(
 
     def step_fn(carry, _):
         x, wz, wy = carry
-        sol, wz_n, wy_n, _ = solve_batch(controller, x, wz, wy)
+        sol, wz_n, wy_n, _ = solve_batch_auto(controller, x, wz, wy)
         u0 = sol.u[:, :, 0]
         x_next = jax.vmap(plant_step)(x, u0)
         return (x_next, wz_n, wy_n), (x_next, u0, sol.status)

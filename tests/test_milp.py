@@ -179,3 +179,33 @@ def test_time_limit_budget_returns_incumbent():
     # budget exhausted after the root node: either it still proved
     # optimality instantly (0) or it reports the node/time-limit status (1)
     assert int(sol.status) in (0, 1)
+
+
+def test_milp_batch_matches_single_lanes():
+    """The fleet entry (solve_milp_batch via parallel.solve_batch) must
+    return exactly the per-lane solve_milp solutions, batched — the
+    exact-ReLU global optimum does not depend on which lane computed it."""
+    import jax.numpy as jnp
+
+    from automationlabsmodelpredictivecontrol_jl_tpu import parallel
+    from automationlabsmodelpredictivecontrol_jl_tpu.runtime import solve_once
+
+    sys = _neural_system("fnn", hidden=3, depth=1, seed=2)
+    c = mpc.proceed_controller(
+        sys, "model_predictive_control", 3, 5.0, X_REF, U_REF,
+        mpc_programming_type="mixed_linear",
+    )
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(
+        np.clip(0.65 + 0.05 * rng.standard_normal((4, 4)), 0.3, 1.3),
+        jnp.float32,
+    )
+    sol_b, wz, wy, diag = parallel.solve_batch(c, x0s)
+    assert int(diag.n_total) == 4
+    assert sol_b.u.shape == (4, 2, 3)
+    for k in range(4):
+        sol_1, _, _ = solve_once(c, x0s[k], c.warm_z, c.warm_y)
+        np.testing.assert_allclose(
+            np.asarray(sol_b.u[k]), np.asarray(sol_1.u), atol=1e-6
+        )
+        assert int(sol_b.status[k]) == int(sol_1.status)
