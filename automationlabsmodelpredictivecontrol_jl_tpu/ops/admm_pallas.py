@@ -170,7 +170,19 @@ def _pick_block(B: int, n: int, m: int, R: int, refine_steps: int) -> int:
             temps = blk * (4 * pad(n) + 2 * pad(m)) * 4
         if 2 * lane + temps + shared < 13 * 2**20:
             return blk
-    return B
+    return 0  # nothing fits: the problem is too large for the fused kernel
+
+
+def fused_fits(n: int, m: int, R: int, refine_steps: int) -> bool:
+    """True when a USEFUL block size fits the kernel's VMEM budget for
+    this problem shape — the routing layer (parallel.fused_supported)
+    sends oversized condensed problems to the vmapped engine instead of
+    letting the kernel overflow VMEM at runtime. Blocks under 64 lanes
+    are excluded: at that point the shared operator slabs crowd out the
+    lane state, per-dispatch GEMMs shrink below the MXU tile, and the
+    vmapped engine wins regardless (measured h200+: the kernel either
+    fails to place or trails vmap)."""
+    return _pick_block(1024, n, m, R, refine_steps) >= 64
 
 
 def _iterate_kernel(
@@ -393,6 +405,12 @@ def _iterate_chunk(
     m = l_s.shape[1]
     R = op.rho_grid.shape[0]
     blk = B if B < 8 else _pick_block(B, n, m, int(R), int(config.refine_steps))
+    if blk == 0:
+        raise ValueError(
+            f"fused ADMM kernel: no block size fits VMEM for n={n}, m={m}, "
+            f"R={int(R)} (shared operator slabs too large) — use the "
+            "vmapped engine (parallel.solve_batch / solve_batch_auto)"
+        )
     assert B % blk == 0, f"batch {B} not divisible by block {blk}"
     packed = _use_packed(n, m, int(R), int(config.refine_steps))
 

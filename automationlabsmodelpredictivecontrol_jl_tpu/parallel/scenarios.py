@@ -305,6 +305,8 @@ def fused_supported(controller: MpcController) -> bool:
     GEMMs better than the in-kernel sequential loop."""
     from ..design import LinearEngine
 
+    from ..ops.admm_pallas import fused_fits
+
     eng = controller.engine
     if isinstance(eng, LinearEngine):
         if eng.soft_mu is not None or eng.op.n_ball != 0:
@@ -312,6 +314,9 @@ def fused_supported(controller: MpcController) -> bool:
         R = int(eng.op.rho_grid.shape[0])
         rs = int(eng.config.refine_steps)
         n = int(eng.op.A_s.shape[1])
+        m = int(eng.op.A_s.shape[0])
+        if not fused_fits(n, m, R, rs):
+            return False  # operator slabs exceed the kernel's VMEM budget
         if R >= 4 and rs >= 1 and 24 <= n <= 64:
             return False  # measured vmap win (see docstring table)
         return True

@@ -225,12 +225,12 @@ def main():
     # (solver_selection.jl:108-114); this row records the fleet entry:
     # B independent exact-ReLU branch-and-bound solves in parallel OS
     # threads (solvers/milp.py solve_milp_batch via parallel.solve_batch).
-    relu_apply, relu_params = mpc.init_model(
-        "fnn", jax.random.PRNGKey(3), 4, 2, hidden=4, depth=1
-    )
-    sys_relu = mpc.NeuralDiscreteSystem(
-        apply_fn=relu_apply, family="fnn", nx=4, nu=2, params=relu_params,
-        X=qtp.X_BOX, U=qtp.U_BOX, activation="relu",
+    # TRAINED relu net (same honesty rule as configs 3/4: a random init
+    # makes a meaningless MPC problem — and a pathological search tree;
+    # on the trained model solve-time OBBT pins nearly every neuron and
+    # the tree collapses, which is the production-relevant regime).
+    sys_relu, rmse_relu = training.trained_system(
+        "fnn", data, hidden=4, activation="relu"
     )
     c7 = mpc.proceed_controller(
         sys_relu, "model_predictive_control", 5, 5.0, x_ref, u_ref,
@@ -252,6 +252,7 @@ def main():
             "converged_fraction": round(int(diag7.n_converged) / B, 4),
             "mean_nodes_per_solve": round(float(diag7.mean_iterations), 1),
             "n_binaries": int(c7.engine.n_binary),
+            "model_rmse": round(rmse_relu, 5),
             "threads": True,
         },
     )

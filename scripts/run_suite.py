@@ -24,18 +24,12 @@ import datetime
 import glob
 import json
 import os
-import re
 import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ABNORMAL = {-11, -6, 134, 139}  # SIGSEGV / SIGABRT, shell-encoded variants
-
-SUMMARY_RE = re.compile(
-    r"(?:(\d+) passed)?(?:,? (\d+) skipped)?(?:,? (\d+) deselected)?"
-    r"(?:,? (\d+) xfailed)?"
-)
 
 
 def run_file(path: str, marker: str, timeout: int) -> dict:
