@@ -20,8 +20,13 @@ Two efficiencies are reported per mesh size:
   throughput(unsharded single-device program, same total batch). Both
   programs contend for the same host cores, so the ratio mostly reflects
   what sharding itself costs (shard_map partitioning + psum collectives +
-  per-shard dispatch) — but host threading/timing variance is of the same
-  order as that overhead here, so single measurements can land above 1.0.
+  per-shard dispatch). On a VIRTUAL mesh the raw ratio often lands well
+  above 1.0 (r4 artifact: 1.17-1.91) — not timing noise alone: each
+  virtual CPU device gets its own XLA execution thread, so the sharded
+  program exploits more host parallelism than the single-device control.
+  That is an artifact of emulating devices on one host, impossible on
+  real chips (each chip is saturated either way), which is exactly why
+  the reported value is clamped at 1.0.
   The reported value is clamped to 1.0 and carries a measured noise band
   (``noise_band`` = spread over repeats of the unsharded control); treat
   "≈1.0 within the band" as "sharding overhead below measurement noise",

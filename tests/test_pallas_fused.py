@@ -57,6 +57,20 @@ def test_fused_rejects_contractive(controller):
         parallel.solve_batch_fused(c, _x0s(8))
 
 
+def test_fused_fits_vmem_boundaries():
+    """The VMEM viability gate behind the routing rule: small problems
+    fit, h200-class condensed problems (n=m=400, R=5) do not leave a
+    useful block and must be excluded from the fused default (they failed
+    at runtime before r4's gate)."""
+    from automationlabsmodelpredictivecontrol_jl_tpu.ops import admm_pallas
+
+    assert admm_pallas.fused_fits(40, 40, 2, 0)  # headline shape
+    assert admm_pallas.fused_fits(200, 200, 5, 1)  # h100 default grid
+    assert not admm_pallas.fused_fits(400, 400, 5, 1)  # h200: no block
+    # _pick_block returns 0 (not the whole batch) when nothing fits
+    assert admm_pallas._pick_block(4096, 1600, 1600, 5, 1) == 0
+
+
 def test_kernel_precision_bf16x3_accurate_but_uncertified():
     """Pins the measured r4 precision-lever finding (TPU v5e, headline
     config): bf16x3 kernel dots produce control sequences close to the
