@@ -158,6 +158,26 @@ def main():
         lat0.append(time.perf_counter() - t0)
     dispatch_floor_ms = float(np.percentile(np.asarray(lat0), 50)) * 1e3
 
+    # fully ON-DEVICE receding horizon (lax.scan of solve -> u0 -> plant):
+    # the real-time story with zero tunnel dispatch in the loop — the
+    # per-step cost a deployed controller actually pays per sample time
+    B_cl, n_cl = 4096, 50
+    x0_cl = x0s[:B_cl]
+    loop = jax.jit(
+        lambda x: parallel.closed_loop_batch(
+            controller, qtp.qtp_discrete_step, x, n_cl
+        )
+    )
+    xs_cl, _, st_cl = loop(x0_cl)
+    jax.block_until_ready(xs_cl)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        xs_cl, _, st_cl = loop(x0_cl)
+    jax.block_until_ready(xs_cl)
+    dt_cl = (time.perf_counter() - t0) / 3
+    on_device_step_ms = dt_cl / n_cl * 1e3
+    cl_ok = float(jnp.mean((st_cl == 0).astype(jnp.float32)))
+
     print(
         json.dumps(
             {
@@ -178,6 +198,9 @@ def main():
                     "single_solve_p50_ms": round(float(np.percentile(lat1, 50)) * 1e3, 3),
                     "single_solve_p99_ms": round(p99_single * 1e3, 3),
                     "dispatch_floor_ms": round(dispatch_floor_ms, 3),
+                    "on_device_step_ms_4096lanes": round(on_device_step_ms, 3),
+                    "on_device_steps_per_sec": round(B_cl * n_cl / dt_cl, 1),
+                    "on_device_converged_step_fraction": round(cl_ok, 4),
                     "realtime_budget_s": qtp.SAMPLE_TIME,
                     "realtime_margin": round(qtp.SAMPLE_TIME / p99_single, 1),
                     "kernel_sol_fraction": round(sol_report["sol_fraction"], 4),
