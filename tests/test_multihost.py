@@ -34,4 +34,8 @@ def test_two_process_sharded_solve(tmp_path):
     assert proc.returncode == 0, proc.stdout[-4000:] + proc.stderr[-2000:]
     result = json.loads((tmp_path / "MULTIHOST.json").read_text())
     assert result["ok"] is True
-    assert result["processes"] == 2
+    # r4 schema: both the 2x4 and the 4x2 process/device topologies
+    topos = {(t["processes"], t["devices_per_process"])
+             for t in result["topologies"]}
+    assert topos == {(2, 4), (4, 2)}
+    assert all(t["ok"] for t in result["topologies"])
