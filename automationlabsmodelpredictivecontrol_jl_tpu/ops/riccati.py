@@ -77,6 +77,14 @@ class RiccatiConfig:
     sigma: float = 1e-6
     eps_abs: float = 1e-5
     eps_rel: float = 1e-5
+    # terminal-node consensus boost for the EQUALITY kind (mirrors the
+    # condensed engine's rho_eq_scale on equality rows): the terminal
+    # state's proximal pull and dual ascent run at rho_eq_scale * rho
+    # (capped at 1e3 for the f32 loop). Without it the terminal dual
+    # crawls on weakly-reachable plants — the QTP near-reference equality
+    # configs stalled at rd ~5e-3 after 20k iterations (r4 golden work);
+    # with it they certify at the engine tolerance.
+    rho_eq_scale: float = 1e2
     # primal-infeasibility CERTIFICATE tolerance (Banjac et al. 2019, the
     # OSQP detector adapted to the consensus splitting): the dual delta
     # over a check block must be (a) orthogonal to the dynamics subspace
@@ -152,6 +160,9 @@ class RiccatiOperator:
     split_interior: bool = static_field()
     split_terminal: bool = static_field()
     terminal_ball: bool = static_field()  # contractive: ball-project e_{N+1}
+    # equality kind: terminal consensus runs at term_rho_scale * rho
+    # (config.rho_eq_scale; 1.0 for every other kind)
+    term_rho_scale: float = static_field(default=1.0)
     # parallel-in-time sweep constants (None when N == 1): Hillis-Steele
     # doubling-level matrices + full prefix products for the backward
     # (reversed g-recursion) and forward (e-rollout) affine recurrences,
@@ -276,6 +287,12 @@ def build_riccati_operator(
         "contractive",
     )
     terminal_ball = terminal_kind == "contractive"
+    # terminal consensus boost: equality kind only (the [0,0] projection is
+    # exact under any rho; boosting it accelerates the terminal dual the
+    # same way rho_eq_scale does for the condensed engine's equality rows)
+    term_scale = (
+        float(config.rho_eq_scale) if terminal_kind == "equality" else 1.0
+    )
 
     x_lo64 = np.asarray(x_lo, np.float64)
     x_hi64 = np.asarray(x_hi, np.float64)
@@ -300,8 +317,9 @@ def build_riccati_operator(
             if split_interior
             else config.sigma * np.eye(nx)
         )
+        rho_t = min(term_scale * rho, 1e3)
         rho_term = (
-            (config.sigma + rho) * np.eye(nx)
+            (config.sigma + rho_t) * np.eye(nx)
             if split_terminal
             else config.sigma * np.eye(nx)
         )
@@ -348,6 +366,7 @@ def build_riccati_operator(
         split_interior=split_interior,
         split_terminal=split_terminal,
         terminal_ball=terminal_ball,
+        term_rho_scale=term_scale,
         bwd_levels=f32(np.stack(bwd_lv)),
         bwd_full=f32(np.stack(bwd_fu)),
         fwd_levels=f32(np.stack(fwd_lv)),
@@ -595,16 +614,21 @@ def solve_sparse(
     vU0 = jnp.clip(U0, op.u_lo, op.u_hi)
     ck = max(1, int(config.check_interval))
 
+    ts = float(op.term_rho_scale)
+
     def admm_iter(carry, _):
         X, U, vX, vU, lamX, lamU, ridx = carry
         rho = jnp.take(grid, ridx)
+        # terminal-node rho (equality boost; matches the factorization's
+        # reg_term, incl. the 1e3 f32 cap)
+        rho_t = jnp.minimum(ts * rho, 1e3) if ts != 1.0 else rho
         # w-update linear terms: the augmented term -(rho v - lam)
         if op.split_interior:
             lin_int = -rho * vX[1:-1] + lamX[1:-1]  # interior states e_2..e_N
         else:
             lin_int = jnp.zeros((N - 1, nx), dt)
         if op.split_terminal:
-            lin_xN = -rho * vX[-1] + lamX[-1]
+            lin_xN = -rho_t * vX[-1] + lamX[-1]
         else:
             lin_xN = jnp.zeros((nx,), dt)
         lin_u = -rho * vU + lamU
@@ -615,6 +639,12 @@ def solve_sparse(
         if split_x:
             vXn = _project_X(op, Xn + lamX / rho, ball_r)
             lamXn = lamX + rho * (Xn - vXn)
+            if ts != 1.0:
+                # boosted terminal row (equality: projection is the exact
+                # [0,0] clip regardless of rho)
+                vN = jnp.clip(Xn[-1] + lamX[-1] / rho_t, op.xN_lo, op.xN_hi)
+                vXn = vXn.at[-1].set(vN)
+                lamXn = lamXn.at[-1].set(lamX[-1] + rho_t * (Xn[-1] - vN))
             # the fixed initial state e_1 is NOT part of the splitting — a
             # dual on it would wind up forever when e0 sits outside the box
             vXn = vXn.at[0].set(Xn[0])

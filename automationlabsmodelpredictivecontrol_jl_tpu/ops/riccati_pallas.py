@@ -94,6 +94,7 @@ def _kernel(
     nu: int,
     chunk: int,
     rho: float,
+    term_rho_scale: float,
     split_interior: bool,
     split_terminal: bool,
     terminal_ball: bool,
@@ -111,6 +112,9 @@ def _kernel(
     blk = e0.shape[-1]
     rho_f = f32(rho)
     rho_inv = f32(1.0 / rho)
+    # terminal-node rho (equality boost; matches the boosted factorization)
+    rho_t = f32(min(term_rho_scale * rho, 1e3))
+    rho_t_inv = f32(1.0 / min(term_rho_scale * rho, 1e3))
     split_x = split_interior or split_terminal
 
     # The working ADMM state lives in the output refs (Mosaic has no
@@ -138,7 +142,7 @@ def _kernel(
         # value-gradient recursion of ops.riccati._lqr_affine_solve with the
         # augmented-Lagrangian linear terms lin = -rho v + lam inlined
         if split_terminal:
-            g0 = -rho_f * vX_out[N] + lamX_out[N]
+            g0 = -rho_t * vX_out[N] + lamX_out[N]
         else:
             g0 = jnp.zeros((nx, blk), f32)
 
@@ -187,9 +191,9 @@ def _kernel(
             lamX_out[N] = lamX_out[N] + rho_f * (X_out[N] - vX_N)
             vX_out[N] = vX_N
         elif split_terminal:
-            w = X_out[N] + rho_inv * lamX_out[N]
+            w = X_out[N] + rho_t_inv * lamX_out[N]
             vX_N = jnp.clip(w, xNlo_ref[:], xNhi_ref[:])
-            lamX_out[N] = lamX_out[N] + rho_f * (X_out[N] - vX_N)
+            lamX_out[N] = lamX_out[N] + rho_t * (X_out[N] - vX_N)
             vX_out[N] = vX_N
         return carry
 
@@ -233,6 +237,7 @@ def _run_chunk(
     kernel = functools.partial(
         _kernel,
         N=N, nx=nx, nu=nu, chunk=int(chunk), rho=rho,
+        term_rho_scale=float(op.term_rho_scale),
         split_interior=op.split_interior,
         split_terminal=op.split_terminal,
         terminal_ball=op.terminal_ball,

@@ -99,6 +99,38 @@ def main():
     })
     print(json.dumps(rows[-1]))
 
+    # wide-plant row: 16 states / 8 inputs / horizon 30 — dimensional
+    # generality beyond the reference's only fixture (the 4-state QTP),
+    # on the default auto-routed path. n = N*nu = 240 spans two MXU tiles,
+    # so padding waste is far lower than the QTP rows.
+    from automationlabsmodelpredictivecontrol_jl_tpu.benchmarks import big
+
+    sys_big = big.random_stable_system(nx=16, nu=8, seed=0)
+    c_big = mpc.proceed_controller(
+        sys_big, "model_predictive_control", 30, 1.0,
+        np.zeros(16, np.float32), np.zeros(8, np.float32),
+        mpc_Q=10.0, mpc_R=0.1,
+    )
+    B = 4096
+    x0s_big = jnp.asarray(
+        np.clip(0.4 * rng.standard_normal((B, 16)), -0.95, 0.95), np.float32
+    )
+    wz, wy = parallel.init_warm_batch(c_big, B)
+    solve_big = jax.jit(
+        lambda x, z, y: parallel.solve_batch_auto(c_big, x, z, y)
+    )
+    dt, (_, _, _, diag) = _timeit(lambda: solve_big(x0s_big, wz, wy))
+    rows.append({
+        "metric": "linear_mpc_nx16_nu8_h30",
+        "value": round(B / dt, 1),
+        "unit": "solves/s",
+        "batch": B,
+        "converged_fraction": round(int(diag.n_converged) / B, 4),
+        "mean_iterations": round(float(diag.mean_iterations), 1),
+        "routed": "fused" if parallel.fused_supported(c_big) else "vmap",
+    })
+    print(json.dumps(rows[-1]))
+
     # merge into BENCH_SUITE.json
     path = "BENCH_SUITE.json"
     suite = json.load(open(path)) if os.path.exists(path) else []

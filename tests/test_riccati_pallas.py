@@ -94,6 +94,29 @@ def test_fused_warm_start_reduces_iterations():
     assert float(jnp.mean(it2)) <= float(jnp.mean(it1))
 
 
+def test_fused_equality_boost_matches_engine():
+    """Feasible equality solve under the r4 terminal-rho boost
+    (rho_eq_scale): the fused kernel's boosted terminal updates must
+    match the jax engine and certify convergence from a near-reference
+    e0 (the weakly-reachable regime that stalled before the boost)."""
+    op = _operator(5, False, "equality")
+    assert op.term_rho_scale > 1.0
+    e0s = jnp.asarray(
+        [[0.002, -0.002, 0.001, -0.001], [0.001, 0.002, -0.001, 0.0]],
+        jnp.float32,
+    )
+    cfg = RiccatiConfig(max_iter=20000, eps_abs=1e-6, eps_rel=1e-6)
+    Xf, Uf, st_f, *_ = solve_sparse_fused(op, e0s, config=cfg)
+    Xr, Ur, st_r, *_ = jax.vmap(lambda e: solve_sparse(op, e, config=cfg))(
+        e0s
+    )
+    assert np.all(np.asarray(st_r) == 0)
+    np.testing.assert_array_equal(np.asarray(st_f), np.asarray(st_r))
+    np.testing.assert_allclose(np.asarray(Uf), np.asarray(Ur), atol=2e-4)
+    # terminal state actually reaches (near) zero deviation
+    assert float(np.max(np.abs(np.asarray(Xr)[:, -1]))) < 1e-4
+
+
 def test_fused_detects_infeasible_equality():
     """Equality terminal unreachable in 3 QTP steps from a wide e0 — the
     stall detector must flag primal infeasibility, same as the jax engine."""
