@@ -416,12 +416,23 @@ def default_activation(family: str) -> str:
 
 def make_apply(family: str, activation: str = None) -> Tuple[Callable, str]:
     """(apply_fn bound to the activation, resolved activation name) — the
-    deterministic rebuild used by checkpoint load (io.py)."""
+    deterministic rebuild used by checkpoint load (io.py).
+
+    The dynamics evaluate under ``default_matmul_precision("highest")``:
+    on TPU a bare ``@`` lowers to 1-pass bf16 on the MXU, which floors the
+    model forward at ~1e-2 relative error — found in r4 as multiple
+    shooting converging 64/64 on CPU but 0/64 on TPU with the defect
+    residual pinned at the bf16 noise floor (9.2e-3), far above the 1e-4
+    feasibility gate. The dynamics model is the physics: its evaluation
+    precision bounds every honesty gate downstream (defects, rollout
+    violations, merit comparisons), so it is pinned here at the source.
+    The matrices are tiny (hidden ~ 8-32); the cost is negligible."""
     act = activation or default_activation(family)
     base_apply = _APPLIES[family]
 
     def apply_fn(p, x, u):
-        return base_apply(p, x, u, activation=act)
+        with jax.default_matmul_precision("highest"):
+            return base_apply(p, x, u, activation=act)
 
     return apply_fn, act
 

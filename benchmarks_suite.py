@@ -121,6 +121,29 @@ def main():
         },
     )
 
+    # multiple-shooting variant (the reference's own transcription; the
+    # robust path on unstable dynamics) on the same trained model — its
+    # convergence gate includes the shooting defects, which requires the
+    # r4 model-precision pin (models/zoo.py make_apply): at bf16 dynamics
+    # the defect floor sits at ~9e-3 >> the 1e-4 gate and conv is 0%.
+    c3ms = mpc.proceed_controller(
+        sys_fnn, "model_predictive_control", 10, 5.0, x_ref, u_ref,
+        sqp_config=SqpConfig(max_sqp_iter=12, shooting="multiple"),
+    )
+    wz, wy = parallel.init_warm_batch(c3ms, B)
+    solve3ms = jax.jit(lambda x, z, y: parallel.solve_batch(c3ms, x, z, y))
+    dt, (_, _, _, diag) = _timeit(lambda: solve3ms(x0s, wz, wy), reps=3)
+    emit(
+        "nonlinear_mpc_fnn_ms_h10",
+        B / dt,
+        B,
+        {
+            "converged_fraction": round(int(diag.n_converged) / B, 4),
+            "model_rmse": round(rmse_fnn, 5),
+            "shooting": "multiple",
+        },
+    )
+
     # ---- config 4: ResNet + soft state constraints ---------------------
     sys_res, rmse_res = training.trained_system("resnet", data, seed=1)
     c4 = mpc.proceed_controller(
