@@ -13,6 +13,18 @@ form of "automationlabsmodelpredictivecontrol.jl_tpu"):
   TPU mesh.
 """
 
+import jax as _jax
+
+# A bare `@` lowers to 1-pass bf16 on the TPU MXU (~1e-2 relative error)
+# — catastrophic for a solver library whose convergence certificates sit
+# at 1e-6 and whose parity bar is 1e-4 (found in r4: multiple shooting
+# converged 64/64 on CPU, 0/64 on TPU, defects pinned at the bf16 floor).
+# Hot paths pin precision explicitly; this package-level default covers
+# everything else (user cost callables, model zoo internals, future
+# code). Respect an explicit user choice if one was already made.
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 from .types import (
     Box,
     References,

@@ -372,14 +372,47 @@ def runtime_qp_vectors(qp: CondensedQpData, e0: Array):
     changes between successive solves is the measured state.
     Returns (q, l, u, ball_c, ball_r).
     """
-    q = qp.q_const + qp.q_x0 @ e0
-    shift = qp.b_x0 @ e0  # b_x0 already carries the sign (-F)
+    # explicit f32 precision: a bare @ lowers to 1-pass bf16 on the TPU
+    # MXU, perturbing the very QP being solved (~0.4% relative in q/l/u —
+    # far above the 1e-4 parity bar); same bug class as the r4 model-zoo
+    # precision pin. Batched callers use runtime_qp_vectors_batch — these
+    # per-lane HIGHEST GEMVs lower pathologically under vmap on TPU
+    # (measured -22% on the headline).
+    mv = lambda M, v: jnp.matmul(M, v, precision=HIGHEST)
+    q = qp.q_const + mv(qp.q_x0, e0)
+    shift = mv(qp.b_x0, e0)  # b_x0 already carries the sign (-F)
     l = qp.l_const + shift
     u = qp.u_const + shift
     if qp.n_ball:
-        ball_c = qp.ball_c_x0 @ e0
+        ball_c = mv(qp.ball_c_x0, e0)
         ball_r = jnp.sqrt(qp.ball_radius_sq_factor) * jnp.linalg.norm(e0)
     else:
         ball_c = jnp.zeros((0,), q.dtype)
         ball_r = jnp.asarray(0.0, q.dtype)
+    return q, l, u, ball_c, ball_r
+
+
+def runtime_qp_vectors_batch(qp: CondensedQpData, e0s: Array):
+    """Batch-major runtime QP vectors: (B, nx) @ (nx, rows) shared-matrix
+    GEMMs at full f32 precision.
+
+    Numerically identical role to ``vmap(runtime_qp_vectors)`` but lowers
+    to three ordinary GEMMs: the vmapped per-lane HIGHEST GEMVs cost the
+    fused headline ~22% on TPU (the batched (B, n, nx) x (B, nx) form
+    defeats XLA's shared-operand hoisting), while this form is
+    microseconds at the same accuracy."""
+    mm = lambda M: jnp.matmul(e0s, M.T, precision=HIGHEST)
+    q = qp.q_const[None] + mm(qp.q_x0)
+    shift = mm(qp.b_x0)
+    l = qp.l_const[None] + shift
+    u = qp.u_const[None] + shift
+    if qp.n_ball:
+        ball_c = mm(qp.ball_c_x0)
+        ball_r = jnp.sqrt(qp.ball_radius_sq_factor) * jnp.linalg.norm(
+            e0s, axis=1
+        )
+    else:
+        B = e0s.shape[0]
+        ball_c = jnp.zeros((B, 0), q.dtype)
+        ball_r = jnp.zeros((B,), q.dtype)
     return q, l, u, ball_c, ball_r

@@ -201,7 +201,7 @@ def solve_batch_fused(
     """
     from ..design import LinearEngine, RiccatiEngine
     from ..ops import admm_pallas
-    from ..ops.condense import runtime_qp_vectors
+    from ..ops.condense import runtime_qp_vectors_batch
     from ..solvers.sqp import true_objective
 
     engine = controller.engine
@@ -224,7 +224,7 @@ def solve_batch_fused(
     tuning = controller.tuning
     refs = tuning.references
     e0s = x0s - refs.x[:, 0][None]
-    qv, lv, uv, _, _ = jax.vmap(lambda e0: runtime_qp_vectors(qp, e0))(e0s)
+    qv, lv, uv, _, _ = runtime_qp_vectors_batch(qp, e0s)
 
     z, y, _, status, iters, rp, rd = admm_pallas.solve_batch_fused(
         engine.op, qv, lv, uv, warm_z, warm_y,
@@ -232,9 +232,10 @@ def solve_batch_fused(
     )
 
     N, nx, nu = qp.N, qp.nx, qp.nu
+    H = jax.lax.Precision.HIGHEST
     ex_tail = (
-        jnp.einsum("kn,bn->bk", qp.G_flat, z)
-        + jnp.einsum("kn,bn->bk", qp.F.reshape(N * nx, nx), e0s)
+        jnp.einsum("kn,bn->bk", qp.G_flat, z, precision=H)
+        + jnp.einsum("kn,bn->bk", qp.F.reshape(N * nx, nx), e0s, precision=H)
     ).reshape(B, N, nx)
     ex = jnp.concatenate([e0s[:, None], ex_tail], axis=1)  # (B, N+1, nx)
     eu = z.reshape(B, N, nu)

@@ -58,7 +58,11 @@ def _solve_linear(
 
     N, nx, nu = qp.N, qp.nx, qp.nu
     z = res.z
-    ex_tail = (qp.G_flat @ z + qp.F.reshape(N * nx, nx) @ e0).reshape(N, nx)
+    H = jax.lax.Precision.HIGHEST
+    ex_tail = (
+        jnp.matmul(qp.G_flat, z, precision=H)
+        + jnp.matmul(qp.F.reshape(N * nx, nx), e0, precision=H)
+    ).reshape(N, nx)
     ex = jnp.concatenate([e0[None], ex_tail], axis=0)  # (N+1, nx)
     eu = z.reshape(N, nu)
     xs = ex + refs.x.T

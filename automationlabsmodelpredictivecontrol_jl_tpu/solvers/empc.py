@@ -136,7 +136,10 @@ def _dynamics_fn(system, refs: Optional[References] = None):
     """
     if hasattr(system, "apply_fn"):
         return (lambda x, u: system.apply_fn(system.params, x, u)), None
-    f = lambda x, u: system.A @ x + system.B @ u
+    f = lambda x, u: (
+        jnp.matmul(system.A, x, precision=HIGHEST)
+        + jnp.matmul(system.B, u, precision=HIGHEST)
+    )
     cs = (
         refs.x[:, 1:].T
         - refs.x[:, :-1].T @ system.A.T

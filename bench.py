@@ -64,14 +64,16 @@ def main():
         np.full(2, 1.2, np.float32),
         admm_config=cfg,
     )
-    # Tier-2: two decades more rho room + 2 refinement steps, 800
-    # iterations, continuing from the tier-1 iterate. Measured r4: this
-    # closes EVERY lane of the benchmark distribution in-program
-    # (conv 1.0) at ~nothing extra — tier 2 is 512 lanes vs tier 1's
-    # 16384, so even its deeper budget is ~4% of the total work; the host
-    # f64 tier is then idle (it remains wired for pathological inputs).
+    # Tier-2: two decades more rho room + 2 refinement steps, 250
+    # iterations, continuing from the tier-1 iterate. Budget calibrated
+    # r4 on the CORRECT (f32-built) QP vectors: one lane of this
+    # distribution sits on the f32 dual floor and never certifies
+    # in-program, so a deeper lockstep budget only multiplies wasted
+    # bucket iterations (800 -> 250 recovered ~30% headline at identical
+    # convergence); the host f64 tier closes that lane in the 3-tier
+    # path.
     fb = parallel.escalation_controller(
-        controller, rho_grid=(0.1, 1.0, 10.0, 100.0), max_iter=800,
+        controller, rho_grid=(0.1, 1.0, 10.0, 100.0), max_iter=250,
         refine_steps=2,
     )
 
