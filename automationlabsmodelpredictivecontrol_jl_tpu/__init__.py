@@ -13,6 +13,8 @@ form of "automationlabsmodelpredictivecontrol.jl_tpu"):
   TPU mesh.
 """
 
+import os as _os
+
 import jax as _jax
 
 # A bare `@` lowers to 1-pass bf16 on the TPU MXU (~1e-2 relative error)
@@ -20,9 +22,15 @@ import jax as _jax
 # at 1e-6 and whose parity bar is 1e-4 (found in r4: multiple shooting
 # converged 64/64 on CPU, 0/64 on TPU, defects pinned at the bf16 floor).
 # Hot paths pin precision explicitly; this package-level default covers
-# everything else (user cost callables, model zoo internals, future
-# code). Respect an explicit user choice if one was already made.
-if _jax.config.jax_default_matmul_precision is None:
+# everything else (user cost callables, future code). It is skipped when
+# the user already chose a default, and can be opted out entirely with
+# MPC_TPU_NO_GLOBAL_PRECISION=1 for processes that share unrelated
+# matmul-heavy work (the package's own solves stay exact either way via
+# the explicit pins).
+if (
+    _os.environ.get("MPC_TPU_NO_GLOBAL_PRECISION") != "1"
+    and _jax.config.jax_default_matmul_precision is None
+):
     _jax.config.update("jax_default_matmul_precision", "highest")
 
 from .types import (

@@ -67,6 +67,12 @@ def _make_dot(mode: str):
     dots instead of HIGHEST's 6, recovering ~f32 product accuracy up to
     the missing lo@lo term. Mosaic rejects Precision.HIGH (bf16x3) as a
     dot attribute, hence the manual decomposition."""
+    if mode not in ("highest", "bf16x3", "default"):
+        raise ValueError(
+            f"unknown kernel_precision {mode!r}; valid: 'highest' (f32, "
+            "6-pass), 'bf16x3' (3-pass hi/lo split), 'default' (1-pass "
+            "bf16 — documented to stall at eps 1e-6)"
+        )
     if mode == "bf16x3":
         bf16, f32 = jnp.bfloat16, jnp.float32
 

@@ -659,6 +659,14 @@ def solve_sparse(
         return (Xn, Un, vXn, vUn, lamXn, lamUn, ridx), None
 
     def residuals(X, U, vX, vU, vX_prev, vU_prev, rho):
+        # Terminal-rho boost note (r4 review): the boosted equality
+        # terminal row uses rho_t for its dual ascent, but its v-copy is
+        # CONSTANT (the [0,0] clip yields exactly 0 every iteration), so
+        # its dual-residual term rho_t*(v_k - v_{k-1}) is identically
+        # zero — the base-rho scaling below is exact for every row that
+        # can actually move (classic ADMM: the dual residual of a fixed
+        # consensus block vanishes; convergence there is governed by the
+        # primal residual |X_N - 0|, which rp includes).
         rp = jnp.max(jnp.abs(U - vU))
         rd = rho * jnp.max(jnp.abs(vU - vU_prev))
         if split_x:

@@ -282,6 +282,26 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = SCENARIO_AXIS) -> Mes
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
+def _kernel_viable(controller: MpcController) -> bool:
+    """Can this controller's engine run the fused kernel AT ALL (capability
+    + VMEM viability) — ignoring the performance-band carve-out that
+    :func:`fused_supported` additionally applies."""
+    from ..design import LinearEngine
+    from ..ops.admm_pallas import fused_fits
+
+    eng = controller.engine
+    if not isinstance(eng, LinearEngine):
+        return False
+    if eng.soft_mu is not None or eng.op.n_ball != 0:
+        return False
+    return fused_fits(
+        int(eng.op.A_s.shape[1]),
+        int(eng.op.A_s.shape[0]),
+        int(eng.op.rho_grid.shape[0]),
+        int(eng.config.refine_steps),
+    )
+
+
 def fused_supported(controller: MpcController) -> bool:
     """True when the controller's engine should DEFAULT to its Pallas-fused
     batch kernel — a *measured* routing rule, not a capability check (the
@@ -306,18 +326,13 @@ def fused_supported(controller: MpcController) -> bool:
     GEMMs better than the in-kernel sequential loop."""
     from ..design import LinearEngine
 
-    from ..ops.admm_pallas import fused_fits
-
     eng = controller.engine
     if isinstance(eng, LinearEngine):
-        if eng.soft_mu is not None or eng.op.n_ball != 0:
-            return False
+        if not _kernel_viable(controller):
+            return False  # capability / VMEM budget
         R = int(eng.op.rho_grid.shape[0])
         rs = int(eng.config.refine_steps)
         n = int(eng.op.A_s.shape[1])
-        m = int(eng.op.A_s.shape[0])
-        if not fused_fits(n, m, R, rs):
-            return False  # operator slabs exceed the kernel's VMEM budget
         if R >= 4 and rs >= 1 and 24 <= n <= 64:
             return False  # measured vmap win (see docstring table)
         return True
@@ -522,12 +537,18 @@ def solve_batch_escalated(
         # tier 2 restarts those lanes from the original warm pair
         z0, y0 = warm_z[gidx], warm_y[gidx]
 
-    # tier 2 pins the fused kernel regardless of the fused_supported band
+    # tier 2 pins the fused kernel regardless of the fused_supported BAND
     # carve-out: the carve-out was measured at fleet batch (B=8192) where
     # the vmapped engine's per-iteration dispatches amortize; at bucket
     # scale (<=256 lanes) routing tier 2 through vmap measured -12% on the
-    # headline (987k -> 872k solves/s, batch p50 39.6 -> 81.2 ms).
-    sol2, wz2, wy2, _ = solve_batch_fused(fallback, x0s[gidx], z0, y0)
+    # headline (987k -> 872k solves/s, batch p50 39.6 -> 81.2 ms). The
+    # VMEM-viability carve-out still applies, though: shapes with no
+    # usable kernel block must take the vmapped engine, not a trace-time
+    # ValueError (r4 review finding).
+    if _kernel_viable(fallback):
+        sol2, wz2, wy2, _ = solve_batch_fused(fallback, x0s[gidx], z0, y0)
+    else:
+        sol2, wz2, wy2, _ = solve_batch(fallback, x0s[gidx], z0, y0)
     # tier-2 iteration counts continue tier 1's
     sol2 = sol2.replace(iterations=sol2.iterations + sol.iterations[gidx])
 

@@ -82,14 +82,16 @@ class SqpConfig:
     # (None = auto: matched to the input-weight scale like ops/riccati.py)
     ms_admm_iters: int = 120
     ms_rho: Optional[float] = None
-    # refine_steps=0: the subproblem K_inv comes from the MXU Newton-Schulz
-    # inverse at ~f32 exactness (condition numbers are tamed by the
-    # Levenberg damping + rho shift), so the per-iteration refinement
-    # matvecs buy nothing here — unlike the weakly-convex condensed linear
-    # path, which keeps its refinement.
+    # refine_steps=1 is the Newton-Schulz safety net (r4 review): the MXU
+    # NS inverse saturates at an f32 residual floor ~kappa*eps, and one
+    # refinement step against the exact K contracts the K-solve error by
+    # that factor (measured: kappa=1e4 residual 1.9e-2 -> 1.2e-6). Weak-R
+    # subproblems (the SURVEY weak-convexity sweep) push kappa well past
+    # 1e3, so the refinement is required for correct x-updates, not a
+    # luxury.
     admm: admm_ops.AdmmConfig = admm_ops.AdmmConfig(
         max_iter=150, eps_abs=1e-6, eps_rel=1e-6, adaptive=True,
-        refine_steps=0,
+        refine_steps=1,
     )
 
 
@@ -418,34 +420,53 @@ def solve_nonlinear(
     y_warm = y_warm.astype(dt)
     xs0 = _rollout(system, x0, u_warm.reshape(N, nu))
 
-    # Phase 1 — statically unrolled FULL iterations (relinearize +
-    # refactorize each time), masked per lane so iteration counts and
-    # early-exit semantics match the plain while_loop exactly.
-    k_full = min(
-        int(cfg.full_jacobian_iters) or int(cfg.max_sqp_iter),
-        int(cfg.max_sqp_iter),
-    )
     u_f, xs, y_f = u_warm, xs0, y_warm
     it_f = jnp.asarray(0, jnp.int32)
     done_f = jnp.asarray(False)
     admm_status = jnp.asarray(STATUS_MAX_ITER, jnp.int32)
-    parts = None
-    for _ in range(k_full):
-        parts = build_parts(u_f, xs)
-        u2, xs2, y2, du_norm, st = solve_sub(parts, u_f, xs, y_f)
-        keep = done_f
-        u_f = jnp.where(keep, u_f, u2)
-        xs = jnp.where(keep, xs, xs2)
-        y_f = jnp.where(keep, y_f, y2)
-        admm_status = jnp.where(keep, admm_status, st)
-        it_f = it_f + (~keep).astype(jnp.int32)
-        done_f = done_f | (du_norm < cfg.tol_du)
+
+    if int(cfg.full_jacobian_iters) <= 0:
+        # freezing disabled: the plain while_loop with a full relinearize
+        # + refactorize every iteration (one compiled body, early exit —
+        # NOT a static unroll of max_sqp_iter full iterations, which
+        # would multiply trace size and lose early exit; r4 review)
+        def body0(carry):
+            u_flat, xs_c, y, it, done, status = carry
+            u_new, xs_new, y_new, du_norm, st = solve_sub(
+                build_parts(u_flat, xs_c), u_flat, xs_c, y
+            )
+            return (u_new, xs_new, y_new, it + 1, du_norm < cfg.tol_du, st)
+
+        def cond0(carry):
+            _, _, _, it, done, _ = carry
+            return (~done) & (it < cfg.max_sqp_iter)
+
+        u_f, xs, y_f, it_f, done_f, admm_status = jax.lax.while_loop(
+            cond0, body0, (u_f, xs, y_f, it_f, done_f, admm_status)
+        )
+        parts = None
+        k_full = int(cfg.max_sqp_iter)
+    else:
+        # Phase 1 — statically unrolled FULL iterations (relinearize +
+        # refactorize each time), masked per lane so iteration counts and
+        # early-exit semantics match the plain while_loop exactly.
+        k_full = min(int(cfg.full_jacobian_iters), int(cfg.max_sqp_iter))
+        parts = None
+        for _ in range(k_full):
+            parts = build_parts(u_f, xs)
+            u2, xs2, y2, du_norm, st = solve_sub(parts, u_f, xs, y_f)
+            keep = done_f
+            u_f = jnp.where(keep, u_f, u2)
+            xs = jnp.where(keep, xs, xs2)
+            y_f = jnp.where(keep, y_f, y2)
+            admm_status = jnp.where(keep, admm_status, st)
+            it_f = it_f + (~keep).astype(jnp.int32)
+            done_f = done_f | (du_norm < cfg.tol_du)
 
     # Phase 2 — quasi-Newton tail on the FROZEN operator (rhs + line
     # search only); loop-invariant `parts` rides into the while_loop.
     if k_full < cfg.max_sqp_iter:
-        if parts is None:
-            parts = build_parts(u_f, xs)
+        assert parts is not None
 
         def body(carry):
             u_flat, xs_c, y, it, done, status = carry

@@ -167,6 +167,10 @@ def _tier_model(op, config, batch: int, iterations: float) -> Dict[str, float]:
     R = int(op.rho_grid.shape[0])
     refine = int(getattr(config, "refine_steps", 0))
     block = batch if batch < 8 else _pick_block(batch, n, m, R, refine)
+    # _pick_block returns 0 when no block fits VMEM (such shapes run the
+    # vmapped engine, not the kernel); model the smallest tile so the
+    # report stays finite instead of dividing by zero (r4 review)
+    block = block or 8
     n_blocks = max(1, batch // block)
     chunk = max(1, int(config.check_interval))
     n_chunks = max(1.0, float(iterations) / chunk)

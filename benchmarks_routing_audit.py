@@ -7,8 +7,8 @@ would take, and records winner-vs-routed per horizon — the r3 verdict's
 done criterion "the auto-routed path equals max(fused, vmap) at every N,
 and no default route is slower than the alternative it hides".
 
-A mismatch where the hidden alternative is faster by more than the noise
-band (10%) fails the audit. Merges a `routing_audit` block into
+A mismatch where the hidden alternative is faster by more than the
+cross-run drift band (NOISE_BAND below, 15%) fails the audit. Merges a `routing_audit` block into
 BENCH_SUITE.json. Run on CPU after benchmarks_suite.py:
 ``python benchmarks_routing_audit.py``.
 """

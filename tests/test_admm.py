@@ -180,3 +180,30 @@ def test_nan_poisoned_fused_kernel_reports_numeric_error():
     status = np.asarray(status)
     assert status[2] == mpc.STATUS_NUMERIC_ERROR
     assert all(status[i] == mpc.STATUS_CONVERGED for i in (0, 1, 3))
+
+
+def test_newton_schulz_inverse_with_refinement_at_high_kappa():
+    """Pins the r4 review finding: the f32 Newton-Schulz iteration
+    saturates at a residual floor ~kappa*eps (more iterations do NOT
+    help), and ONE refinement step against the exact K restores solve
+    accuracy — which is why SqpConfig keeps AdmmConfig.refine_steps=1.
+    The K-solve (x = K^-1 rhs, then one refine) must be accurate at the
+    condition numbers weak-R SQP subproblems actually produce."""
+    import numpy as np
+    from automationlabsmodelpredictivecontrol_jl_tpu.ops.admm import (
+        newton_schulz_inverse,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 40
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    for kappa in (1e2, 1e3, 1e4):
+        lam = np.geomspace(1.0 / kappa, 1.0, n)
+        K = ((Q * lam) @ Q.T).astype(np.float32)
+        Ki = np.asarray(newton_schulz_inverse(jnp.asarray(K)))
+        rhs = rng.standard_normal(n).astype(np.float32)
+        x = Ki @ rhs
+        x = x + Ki @ (rhs - K @ x)  # refine_steps=1
+        x_exact = np.linalg.solve(K.astype(np.float64), rhs)
+        rel = np.max(np.abs(x - x_exact)) / np.max(np.abs(x_exact))
+        assert rel < 1e-4, (kappa, rel)
