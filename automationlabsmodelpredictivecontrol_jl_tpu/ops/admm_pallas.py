@@ -174,7 +174,12 @@ def _pick_block(B: int, n: int, m: int, R: int, refine_steps: int) -> int:
                 temps += blk * (pad(R * n) + pad(R * (n + m))) * 4
         else:
             temps = blk * (4 * pad(n) + 2 * pad(m)) * 4
-        if 2 * lane + temps + shared < 13 * 2**20:
+        # 14.5 MB model budget against the ~16 MB physical VMEM: blk=1024
+        # at the headline shape models at ~14.25 MB and measures +4% over
+        # blk=512 on TPU v5e (r4); blk=2048 (~28 MB) fails to place,
+        # bracketing the real limit. The remaining ~1.5 MB covers Mosaic's
+        # own buffers; every shipped shape is compile-verified on hardware.
+        if 2 * lane + temps + shared < int(14.5 * 2**20):
             return blk
     return 0  # nothing fits: the problem is too large for the fused kernel
 
