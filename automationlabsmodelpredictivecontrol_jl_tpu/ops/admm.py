@@ -310,6 +310,19 @@ def build_operator_traced(
         P_s = P_s * gamma
         c = c * gamma
 
+    if identity_A:
+        # Even without Ruiz sweeps, keep the gamma cost-normalization of P:
+        # the traced operator carries a single rho (R=1), so there is no rho
+        # grid to absorb P's scale — with large Q weights the rho/P balance
+        # would otherwise drift and box-only SQP subproblems stop certifying.
+        # One max-reduction over P; D/E stay identity.
+        gamma = jnp.clip(
+            1.0 / jnp.maximum(jnp.mean(jnp.max(jnp.abs(P_s), axis=0)), 1e-8),
+            a_max=1e8,
+        )
+        P_s = P_s * gamma
+        c = c * gamma
+
     eq = np.asarray(eq_row_mask, bool)
     # traced operators keep a single-rho grid (R=1): SQP rebuilds the
     # subproblem every outer iteration, so rho adaptation buys little there

@@ -179,7 +179,15 @@ def _pick_block(B: int, n: int, m: int, R: int, refine_steps: int) -> int:
         # blk=512 on TPU v5e (r4); blk=2048 (~28 MB) fails to place,
         # bracketing the real limit. The remaining ~1.5 MB covers Mosaic's
         # own buffers; every shipped shape is compile-verified on hardware.
-        if 2 * lane + temps + shared < int(14.5 * 2**20):
+        # Per-rho branch: count the shared operator slabs TWICE — measured
+        # on TPU v5e (r5): n=m=400/R=5/refine=1 at blk=64 models at 13.7 MB
+        # single-counted yet Mosaic reports 21.27 MB scoped (OOM, 16 MB
+        # limit); the ~+10 MB gap matches one extra pipeline copy of the
+        # 10.24 MB shared slabs. Double-counting reproduces the measured
+        # footprint and keeps the hardware-verified h100 per-rho shape
+        # (n=m=200/R=5: 12.2 MB modeled, places fine) inside the budget.
+        shared_eff = shared if packed else 2 * shared
+        if 2 * lane + temps + shared_eff < int(14.5 * 2**20):
             return blk
     return 0  # nothing fits: the problem is too large for the fused kernel
 
@@ -417,6 +425,11 @@ def _iterate_chunk(
     R = op.rho_grid.shape[0]
     blk = B if B < 8 else _pick_block(B, n, m, int(R), int(config.refine_steps))
     if blk == 0:
+        # Distinguish "no power-of-two divisor of B fits" from "the problem
+        # genuinely overflows VMEM": the driver (solve_batch_fused) pads B to
+        # a multiple of 8 before calling here, so a zero from _pick_block with
+        # a multiple-of-8 batch means even blk=8 does not fit — a true VMEM
+        # overflow. Any other B reaching this point is a driver bug.
         raise ValueError(
             f"fused ADMM kernel: no block size fits VMEM for n={n}, m={m}, "
             f"R={int(R)} (shared operator slabs too large) — use the "
@@ -502,6 +515,25 @@ def solve_batch_fused(
     if interpret is None:
         # Mosaic kernels need a real TPU; interpret elsewhere (tests/CPU)
         interpret = jax.default_backend() != "tpu"
+    B_orig, _ = q.shape
+    if B_orig >= 8 and B_orig % 8:
+        # _pick_block only considers power-of-two blocks (8..1024) that
+        # divide B; pad the batch up to a multiple of 8 (replicating the
+        # last lane — it converges like any real lane) and slice back, so
+        # e.g. B=100 routes through the kernel instead of raising a
+        # misleading "no block size fits VMEM" at trace time.
+        pad_to = -(-B_orig // 8) * 8
+        rep = lambda a: (
+            None
+            if a is None
+            else jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (pad_to - B_orig,) + a.shape[1:])]
+            )
+        )
+        out = solve_batch_fused(
+            op, rep(q), rep(l), rep(u), rep(z0), rep(y0), config, interpret
+        )
+        return tuple(o[:B_orig] for o in out)
     B, n = q.shape
     m = l.shape[1]
     dt = jnp.float32

@@ -98,7 +98,9 @@ def solve_batch(
     """vmap-batched scenario solves on one device.
 
     Returns (solutions with leading batch axis, next warm_z, next warm_y,
-    diagnostics). jit-compatible; this is BASELINE config 5's per-chip body.
+    diagnostics). jit-compatible for every engine EXCEPT MilpEngine, whose
+    exact-ReLU branch-and-bound runs on the host (threaded native calls) and
+    therefore cannot appear under jit / inside lax.scan.
     """
     from ..solvers.milp import MilpEngine
 
@@ -110,6 +112,12 @@ def solve_batch(
         # host fleet path: the exact-ReLU B&B runs B lanes in parallel OS
         # threads (native calls release the GIL; solvers/milp.py). Same
         # 4-tuple contract; the MILP engine carries no warm state.
+        if isinstance(x0s, jax.core.Tracer):
+            raise TypeError(
+                "solve_batch with a MILP engine is host-only (the exact-ReLU "
+                "branch-and-bound runs native host code): call it outside "
+                "jit / lax.scan, e.g. not via closed_loop_batch"
+            )
         from ..solvers.milp import solve_milp_batch
 
         sol = solve_milp_batch(controller.engine, controller.tuning, x0s)

@@ -39,6 +39,20 @@ def test_fused_matches_reference_engine(controller):
     )
 
 
+def test_fused_non_multiple_of_8_batch(controller):
+    # regression (advisor r4): B % 8 != 0 previously hit a trace-time
+    # "no block size fits VMEM" ValueError; the driver now pads to a
+    # multiple of 8 and slices back.
+    x0s = _x0s(13, seed=7)
+    sol_ref, _, _, _ = parallel.solve_batch(controller, x0s)
+    sol_f, wz, wy, diag_f = parallel.solve_batch_fused(controller, x0s)
+    assert sol_f.u.shape[0] == 13 and wz.shape[0] == 13 and wy.shape[0] == 13
+    assert int(diag_f.n_converged) == 13
+    np.testing.assert_allclose(
+        np.asarray(sol_f.u), np.asarray(sol_ref.u), atol=5e-4
+    )
+
+
 def test_fused_warm_start(controller):
     x0s = _x0s(8, seed=1)
     sol1, wz, wy, d1 = parallel.solve_batch_fused(controller, x0s)
