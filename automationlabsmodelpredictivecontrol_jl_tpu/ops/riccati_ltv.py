@@ -153,6 +153,8 @@ def solve_ms_qp(
     soft_mu: Optional[float] = None,
     terminal_is_box: bool = False,  # xN rows are the plain state box (not
     # a terminal-equality pin): they follow the soft/hard box choice
+    rho_x: Optional[Array] = None,  # state-row consensus rho (defaults to
+    # rho). MUST match the rho the caller folded into Qb/QbT.
 ):
     """Fixed-iteration consensus ADMM on the multiple-shooting subproblem
     (the inner loop of one SQP iteration — masked convergence happens at the
@@ -165,11 +167,22 @@ def solve_ms_qp(
     mu·dist(v, box) — shrink toward the box by mu/rho instead of clipping
     onto it (the same semantics as the linear path's shrinkage prox,
     ops/admm.py soft_mu). Inputs and the contractive ball stay hard.
+
+    ``rho_x``: the state rows carry their OWN consensus rho. The dual on a
+    binding state row must climb to the row's shadow price, and it climbs
+    by rho_x·(w−v) per iteration — with rho derived from R (≈0.2 at the
+    canonical QTP weights) against a 2·Q ≈ 200 cost curvature the climb is
+    ~6.7e-4/iter and the inner loop cannot converge within any realistic
+    budget (found r5: MS+soft at an out-of-box x0 stalled at a non-optimum,
+    J = 507 vs single shooting's 477 on the identical NLP). Scale-matching
+    rho_x to the state-cost curvature restores the contraction.
     Returns (δX, δU, lamX, lamU, rp)."""
     N1, nx = lq_nodes.shape
     N = N1 - 1
     nu = lu0.shape[1]
     dt = jnp.float32
+    if rho_x is None:
+        rho_x = rho
     split_interior = x_lo is not None
     split_terminal = (
         xN_lo is not None or ball_c is not None or split_interior
@@ -182,7 +195,7 @@ def solve_ms_qp(
     def _box_prox(V, lo, hi):
         if soft_mu is None:
             return jnp.clip(V, lo, hi)
-        k = soft_mu / rho
+        k = soft_mu / rho_x
         return V - jnp.clip(V - jnp.clip(V, lo, hi), -k, k)
 
     def project_X(V):
@@ -216,19 +229,19 @@ def solve_ms_qp(
         lu = lu0 - rho * vU + lamU
         lq = jnp.zeros((N, nx), dt)
         if split_interior:
-            lq = lq.at[1:].set(lq_int - rho * vX[1:-1] + lamX[1:-1])
+            lq = lq.at[1:].set(lq_int - rho_x * vX[1:-1] + lamX[1:-1])
         else:
             lq = lq.at[1:].set(lq_int)
         if split_terminal:
-            lqT = lq_term - rho * vX[-1] + lamX[-1]
+            lqT = lq_term - rho_x * vX[-1] + lamX[-1]
         else:
             lqT = lq_term
         dXn, dUn = ltv_affine_solve(factors, lq, lqT, lu)
         vUn = jnp.clip(dUn + lamU / rho, u_lo, u_hi)
         lamUn = lamU + rho * (dUn - vUn)
         if split_terminal:
-            vXn = project_X(dXn + lamX / rho)
-            lamXn = lamX + rho * (dXn - vXn)
+            vXn = project_X(dXn + lamX / rho_x)
+            lamXn = lamX + rho_x * (dXn - vXn)
             vXn = vXn.at[0].set(dXn[0])
             lamXn = lamXn.at[0].set(0.0)
             if not split_interior:

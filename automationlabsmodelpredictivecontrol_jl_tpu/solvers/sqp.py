@@ -573,11 +573,22 @@ def solve_nonlinear_ms(
     refs: References = tuning.references
     x0 = jnp.asarray(x0, dt)
 
-    rho = (
-        jnp.maximum(2.0 * jnp.mean(jnp.diag(w.R.astype(dt))), 1e-6)
-        if cfg.ms_rho is None
-        else jnp.asarray(cfg.ms_rho, dt)
-    )
+    if cfg.ms_rho is None:
+        rho = jnp.maximum(2.0 * jnp.mean(jnp.diag(w.R.astype(dt))), 1e-6)
+        # State rows scale-match their consensus rho to the state-cost
+        # curvature (2·Q / 2·P): the dual climbs by rho_x·(w−v) per inner
+        # iteration toward the row's shadow price, and with rho from R
+        # (≈0.2) against 2·Q ≈ 200 it cannot get there in any budget —
+        # see ops/riccati_ltv.solve_ms_qp docstring (r5 stall).
+        rho_x = jnp.maximum(
+            jnp.maximum(
+                2.0 * jnp.mean(jnp.diag(w.Q.astype(dt))),
+                2.0 * jnp.mean(jnp.diag(tuning.terminal.P.astype(dt))),
+            ),
+            rho,
+        )
+    else:
+        rho = rho_x = jnp.asarray(cfg.ms_rho, dt)
     split_interior = engine.state_rows
     kind = engine.terminal_kind
     split_terminal = split_interior or kind in ("equality", "contractive")
@@ -586,10 +597,10 @@ def solve_nonlinear_ms(
     eye_u = jnp.eye(nu, dtype=dt)
     Qb = 2.0 * w.Q.astype(dt) + cfg.damping * eye_x
     if split_interior:
-        Qb = Qb + rho * eye_x
+        Qb = Qb + rho_x * eye_x
     QbT = 2.0 * tuning.terminal.P.astype(dt) + cfg.damping * eye_x
     if split_terminal:
-        QbT = QbT + rho * eye_x
+        QbT = QbT + rho_x * eye_x
     Rb = 2.0 * w.R.astype(dt) + (cfg.damping) * eye_u + rho * eye_u
 
     Ub0 = warm_z[: N * nu].reshape(N, nu).astype(dt)
@@ -643,6 +654,7 @@ def solve_nonlinear_ms(
                 float(cfg.soft_state_penalty) if engine.soft_boxes else None
             ),
             terminal_is_box=(kind not in ("equality", "contractive")),
+            rho_x=rho_x,
         )
 
         def cand_merit(a):
@@ -665,7 +677,17 @@ def solve_nonlinear_ms(
     def body(carry):
         Xb, Ub, lamX, lamU, it, done = carry
         Xn, Un, lamXn, lamUn, du_norm = sqp_step(Xb, Ub, lamX, lamU)
-        return (Xn, Un, lamXn, lamUn, it + 1, du_norm < cfg.tol_du)
+        # a small step alone is NOT convergence: the line search can take a
+        # zero step on a merit plateau while the consensus duals are still
+        # climbing (they keep updating through lamXn/lamUn and unlock
+        # progress a few iterations later — observed r5). Declare done only
+        # when the iterate is also feasible to the solver's own tolerance;
+        # infeasible stalls run out the max_sqp_iter budget and report
+        # STATUS_MAX_ITER honestly.
+        viol_n = jnp.max(jnp.abs(_defects(system, Xn, Un)))
+        viol_n = jnp.maximum(viol_n, _violation(engine, tuning, system, Xn))
+        done_n = (du_norm < cfg.tol_du) & (viol_n <= cfg.feas_tol)
+        return (Xn, Un, lamXn, lamUn, it + 1, done_n)
 
     def cond(carry):
         _, _, _, _, it, done = carry
