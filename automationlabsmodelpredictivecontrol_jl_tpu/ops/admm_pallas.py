@@ -71,7 +71,8 @@ def _make_dot(mode: str):
         raise ValueError(
             f"unknown kernel_precision {mode!r}; valid: 'highest' (f32, "
             "6-pass), 'bf16x3' (3-pass hi/lo split), 'default' (1-pass "
-            "bf16 — documented to stall at eps 1e-6)"
+            "bf16 — documented to stall at eps 1e-6), 'hybrid' (resolved "
+            "per chunk by the driver — never reaches the kernel)"
         )
     if mode == "bf16x3":
         bf16, f32 = jnp.bfloat16, jnp.float32
@@ -81,7 +82,14 @@ def _make_dot(mode: str):
             a_lo = (a - a_hi.astype(f32)).astype(bf16)
             b_hi = b.astype(bf16)
             b_lo = (b - b_hi.astype(f32)).astype(bf16)
-            d = lambda x, y: jnp.dot(x, y, preferred_element_type=f32)
+            # precision MUST be pinned to DEFAULT: the package-level
+            # jax_default_matmul_precision="highest" otherwise stamps
+            # contract_precision<fp32> onto these bf16 matmuls and Mosaic
+            # rejects the op ("Bad lhs type", r5)
+            d = lambda x, y: jnp.dot(
+                x, y, preferred_element_type=f32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
             return d(a_hi, b_hi) + (d(a_lo, b_hi) + d(a_hi, b_lo))
 
         return dot
@@ -92,6 +100,32 @@ def _make_dot(mode: str):
     return lambda a, b: jnp.dot(
         a, b, preferred_element_type=jnp.float32, precision=prec
     )
+
+
+def _make_opdot(mode: str, A):
+    """Left-multiplication ``rhs -> A @ rhs`` by a LOOP-CONSTANT operator at
+    the configured precision. For bf16x3 the operator's hi/lo split is
+    hoisted to closure-creation time: casting the constant operand inside
+    the fori_loop body makes Mosaic's layout inference reject the matmul
+    ("Bad lhs type", r5 — only when 4+ loop states and broadcast-built
+    operands are present), and the split is loop-invariant anyway."""
+    if mode == "bf16x3":
+        bf16, f32 = jnp.bfloat16, jnp.float32
+        a_hi = A.astype(bf16)
+        a_lo = (A - a_hi.astype(f32)).astype(bf16)
+        d = lambda x, y: jnp.dot(
+            x, y, preferred_element_type=f32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+        def dot(rhs):
+            b_hi = rhs.astype(bf16)
+            b_lo = (rhs - b_hi.astype(f32)).astype(bf16)
+            return d(a_hi, b_hi) + (d(a_lo, b_hi) + d(a_hi, b_lo))
+
+        return dot
+    base = _make_dot(mode)
+    return lambda rhs: base(A, rhs)
 
 
 def _pad128(v: int) -> int:
@@ -149,7 +183,10 @@ def _shared_bytes(n: int, m: int, R: int, packed: bool, refine: int) -> int:
     return (s + 2 * R * m) * 4
 
 
-def _pick_block(B: int, n: int, m: int, R: int, refine_steps: int) -> int:
+def _pick_block(
+    B: int, n: int, m: int, R: int, refine_steps: int,
+    budget_mb: float = 14.5,
+) -> int:
     """Largest block whose VMEM footprint fits the ~16 MB budget.
 
     Bigger blocks amortize MXU fill/drain per GEMM dispatch; but the lane
@@ -187,12 +224,14 @@ def _pick_block(B: int, n: int, m: int, R: int, refine_steps: int) -> int:
         # footprint and keeps the hardware-verified h100 per-rho shape
         # (n=m=200/R=5: 12.2 MB modeled, places fine) inside the budget.
         shared_eff = shared if packed else 2 * shared
-        if 2 * lane + temps + shared_eff < int(14.5 * 2**20):
+        if 2 * lane + temps + shared_eff < int(budget_mb * 2**20):
             return blk
     return 0  # nothing fits: the problem is too large for the fused kernel
 
 
-def fused_fits(n: int, m: int, R: int, refine_steps: int) -> bool:
+def fused_fits(
+    n: int, m: int, R: int, refine_steps: int, diag_a: bool = False
+) -> bool:
     """True when a USEFUL block size fits the kernel's VMEM budget for
     this problem shape — the routing layer (parallel.fused_supported)
     sends oversized condensed problems to the vmapped engine instead of
@@ -200,7 +239,10 @@ def fused_fits(n: int, m: int, R: int, refine_steps: int) -> bool:
     are excluded: at that point the shared operator slabs crowd out the
     lane state, per-dispatch GEMMs shrink below the MXU tile, and the
     vmapped engine wins regardless (measured h200+: the kernel either
-    fails to place or trails vmap)."""
+    fails to place or trails vmap). Diagonal-A operators route to the
+    transposed v3 kernel, whose footprint is far smaller."""
+    if diag_a:
+        return _pick_block_diag(1024, n, R, refine_steps) >= 64
     return _pick_block(1024, n, m, R, refine_steps) >= 64
 
 
@@ -298,6 +340,204 @@ def _iterate_kernel(
     s_out[:] = s
     y_out[:] = y
     ax_out[:] = ax
+
+
+def _iterate_kernel_diag(
+    # inputs (VMEM) — TRANSPOSED layout: lanes along the 128-lane axis
+    kicat_ref,  # (R*n, n) stacked K_r^{-1} (symmetric, applied from the left)
+    kcat_ref,  # (R*n, n) stacked K_r (refinement only)
+    dvec_ref,  # (n, 1) diag(A_s)
+    rhovT_ref,  # (n, R)
+    rhoiT_ref,  # (n, R)
+    q_ref,  # (n, BLK)
+    l_ref,  # (n, BLK)
+    u_ref,  # (n, BLK)
+    idx_ref,  # (1, BLK) int32 rho index per lane
+    x_in,  # (n, BLK)
+    s_in,
+    y_in,
+    ax_in,
+    # outputs (aliased)
+    x_out,
+    s_out,
+    y_out,
+    ax_out,
+    *,
+    R: int,
+    n: int,
+    chunk: int,
+    sigma: float,
+    alpha: float,
+    refine_steps: int,
+    dot_mode: str,
+):
+    """Kernel v3 — the box-only (diagonal-A) fast path.
+
+    The headline h20 QP (and every input-box-only condensed MPC) has a
+    SQUARE, DIAGONAL constraint matrix: every A-side product is elementwise.
+    v2 treated that diagonal as dense and spent two fat padded GEMM
+    dispatches per iteration; the only algorithmically necessary MXU work
+    is the K-solve (n^2 MACs/lane). This kernel:
+
+    - keeps the lane state TRANSPOSED, (n, BLK): the small operator dim n
+      sits in the M position (sublane granularity 8, exact for n % 8 == 0)
+      and the lane axis fills the 128-lane N dim densely — the per-lane
+      padded MACs drop from ~2*pad(m)*pad((R+1)n) + pad(Rn)*pad(R(n+m))
+      (v2, ~65k at the headline shape) to R*n*pad128(n) (~10k);
+    - applies the per-lane rho entirely on the VPU (rho enters the rhs as
+      an elementwise factor, not baked into R operator copies);
+    - computes the R K-solve candidates in ONE (R*n, n) @ (n, BLK) dot and
+      mask-selects rows per lane (idx is fixed within a chunk).
+    """
+    q = q_ref[:]
+    l = l_ref[:]
+    u = u_ref[:]
+    idx = idx_ref[:]  # (1, BLK)
+
+    # materialize every broadcast to a full (n, BLK) tile in the preamble:
+    # Mosaic's layout inference mis-types the bf16x3 matmul operands when
+    # (n,1)/(1,BLK) broadcast chains flow into the 4-state loop carry
+    # ("Bad lhs type" at compile; r5) — full-shape operands sidestep it and
+    # the hoisted products are loop constants anyway.
+    ones = jnp.ones_like(q)
+    d = dvec_ref[:] * ones  # (n, BLK)
+    masks = [
+        (idx == r).astype(jnp.float32) * ones for r in range(R)
+    ]  # (n, BLK)
+    rho = jnp.zeros_like(q)
+    rho_inv = jnp.zeros_like(q)
+    for r in range(R):
+        rho = rho + masks[r] * rhovT_ref[:, r : r + 1]
+        rho_inv = rho_inv + masks[r] * rhoiT_ref[:, r : r + 1]
+
+    def select_rows(cand):  # (R*n, BLK) -> (n, BLK) per-lane rho pick
+        out = masks[0] * cand[:n, :]
+        for r in range(1, R):
+            out = out + masks[r] * cand[r * n : (r + 1) * n, :]
+        return out
+
+    # NOTE: the opdot closures (which hoist the bf16x3 hi/lo split of the
+    # loop-constant operators) must be created AFTER the broadcast preamble
+    # above — creating the bf16 casts before the (n,1)/(1,BLK) broadcasts
+    # flips Mosaic's layout choice for the matmul operands and the kernel
+    # fails to compile with "Bad lhs type" (r5, empirically bisected).
+    dot_ki = _make_opdot(dot_mode, kicat_ref[:])
+    dot_kc = _make_opdot(dot_mode, kcat_ref[:]) if refine_steps else None
+
+    def body(_, state):
+        x, s, y, ax = state
+        rhs = sigma * x - q - d * y + d * (rho * s)
+        cand = dot_ki(rhs)  # (R*n, BLK): all rho candidates
+        xt = select_rows(cand)
+        for _ in range(refine_steps):
+            kx = dot_kc(xt)
+            resid = rhs - select_rows(kx)
+            corr = dot_ki(resid)
+            xt = xt + select_rows(corr)
+        st = d * xt
+        x_new = alpha * xt + (1.0 - alpha) * x
+        v = alpha * st + (1.0 - alpha) * s
+        s_new = jnp.clip(v + rho_inv * y, l, u)
+        y_new = y + rho * (v - s_new)
+        ax_new = alpha * st + (1.0 - alpha) * ax
+        return x_new, s_new, y_new, ax_new
+
+    x, s, y, ax = jax.lax.fori_loop(
+        0, chunk, body, (x_in[:], s_in[:], y_in[:], ax_in[:])
+    )
+    x_out[:] = x
+    s_out[:] = s
+    y_out[:] = y
+    ax_out[:] = ax
+
+
+def _pick_block_diag(
+    B: int, n: int, R: int, refine_steps: int, budget_mb: float = 14.5,
+) -> int:
+    """Largest lane block for the transposed diag kernel within the 14.5 MB
+    VMEM budget. Lane state is (n, blk) x 11 (7 in + 4 aliased out, double-
+    buffered); GEMM temporaries are (R*n, blk)."""
+    for blk in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if B % blk:
+            continue
+        lane = (11 * n + 1) * blk * 4
+        temps = (2 + (2 if refine_steps else 0)) * R * n * blk * 4
+        shared = (2 * R * n * n + n + 2 * n * R) * 4
+        if 2 * lane + temps + shared < int(budget_mb * 2**20):
+            return blk
+    return 0
+
+
+def _iterate_chunk_diag(
+    op: AdmmOperator,
+    q_s: Array,  # (B, n) scaled — standard layout at the driver boundary
+    l_s: Array,
+    u_s: Array,
+    idx: Array,  # (B,)
+    x: Array,
+    s: Array,
+    y: Array,
+    ax: Array,
+    chunk: int,
+    config: AdmmConfig,
+    interpret: bool = False,
+    dot_mode: Optional[str] = None,
+) -> Tuple[Array, Array, Array, Array]:
+    """Diag-A chunk driver: transpose to the lane-last layout, run the v3
+    kernel, transpose back. The transposes are per-chunk (~20 MB HBM at the
+    headline batch) — noise next to a 25-iteration chunk of kernel work."""
+    B, n = q_s.shape
+    R = int(op.rho_grid.shape[0])
+    # under the hybrid per-chunk lax.cond the input/output aliasing is
+    # broken by branch-boundary copies and the kernel's true VMEM footprint
+    # grows ~3 MB past the model (measured r5: dense h20 OOM at 17.45M)
+    # — shrink the budget so the block picker stays inside the real limit
+    budget = 11.0 if dot_mode is not None else 14.5
+    blk = B if B < 8 else _pick_block_diag(
+        B, n, R, int(config.refine_steps), budget_mb=budget
+    )
+    if blk == 0:
+        raise ValueError(
+            f"fused diag ADMM kernel: no block size fits VMEM for n={n}, "
+            f"R={R} — use the vmapped engine"
+        )
+    assert B % blk == 0
+
+    kicat = op.K_invs.reshape(R * n, n)
+    kcat = op.Ks.reshape(R * n, n)
+    dvec = jnp.diagonal(op.A_s)[:, None]
+    rhovT = op.rho_vecs.T
+    rhoiT = op.rho_invs.T
+
+    kernel = functools.partial(
+        _iterate_kernel_diag,
+        R=R,
+        n=int(n),
+        chunk=int(chunk),
+        sigma=float(config.sigma),
+        alpha=float(config.alpha),
+        refine_steps=int(config.refine_steps),
+        dot_mode=str(dot_mode or config.kernel_precision),
+    )
+    shared = pl.BlockSpec(memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((n, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+    bspec_i = pl.BlockSpec((1, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // blk,),
+        in_specs=[shared] * 5
+        + [bspec, bspec, bspec, bspec_i, bspec, bspec, bspec, bspec],
+        out_specs=[bspec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((n, B), jnp.float32)] * 4,
+        input_output_aliases={9: 0, 10: 1, 11: 2, 12: 3},
+        interpret=interpret,
+    )(
+        kicat, kcat, dvec, rhovT, rhoiT,
+        q_s.T, l_s.T, u_s.T, idx[None, :].astype(jnp.int32),
+        x.T, s.T, y.T, ax.T,
+    )
+    return tuple(o.T for o in out)
 
 
 def _iterate_kernel_perr(
@@ -418,12 +658,21 @@ def _iterate_chunk(
     chunk: int,
     config: AdmmConfig,
     interpret: bool = False,
+    dot_mode: Optional[str] = None,
 ) -> Tuple[Array, Array, Array, Array]:
     """Run `chunk` fused iterations for the whole batch (grid over blocks)."""
+    if getattr(op, "diag_a", False):
+        return _iterate_chunk_diag(
+            op, q_s, l_s, u_s, idx, x, s, y, ax, chunk, config, interpret,
+            dot_mode=dot_mode,
+        )
     B, n = q_s.shape
     m = l_s.shape[1]
     R = op.rho_grid.shape[0]
-    blk = B if B < 8 else _pick_block(B, n, m, int(R), int(config.refine_steps))
+    budget = 11.0 if dot_mode is not None else 14.5  # see _iterate_chunk_diag
+    blk = B if B < 8 else _pick_block(
+        B, n, m, int(R), int(config.refine_steps), budget_mb=budget
+    )
     if blk == 0:
         # Distinguish "no power-of-two divisor of B fits" from "the problem
         # genuinely overflows VMEM": the driver (solve_batch_fused) pads B to
@@ -444,7 +693,7 @@ def _iterate_chunk(
         sigma=float(config.sigma),
         alpha=float(config.alpha),
         refine_steps=int(config.refine_steps),
-        dot_mode=str(config.kernel_precision),
+        dot_mode=str(dot_mode or config.kernel_precision),
     )
     if packed:
         rhs1, wcat, kcat, wrow = packed_operators(op)
@@ -600,11 +849,39 @@ def solve_batch_fused(
         it, done = state[5], state[8]
         return (~jnp.all(done)) & (it < config.max_iter)
 
+    hybrid = str(config.kernel_precision) == "hybrid"
+
     def body(state):
         x, s, y, ax, idx, it, rp, rd, done, itl, bad = state
-        x2, s2, y2, ax2 = _iterate_chunk(
-            op, q_s, l_s, u_s, idx, x, s, y, ax, ck, config, interpret
-        )
+        if hybrid:
+            # per-chunk precision schedule (VERDICT r4 item 2): run bf16x3
+            # (3 MXU passes) while the worst ACTIVE lane's unscaled residual
+            # is above the switch threshold, f32 HIGHEST (6 passes) below it
+            # — the bf16x3 floor sits near ~1e-4, so the cheap passes do the
+            # bulk contraction and the certified tail runs at full
+            # precision. First chunk: rp/rd start at +inf -> bf16x3. The
+            # between-chunk diagnostics below are exact HIGHEST either way,
+            # so a lane is only ever CERTIFIED against exact residuals.
+            r_active = jnp.max(
+                jnp.where(done, 0.0, jnp.maximum(rp, rd))
+            )
+            chunk_args = (idx, x, s, y, ax)
+            x2, s2, y2, ax2 = jax.lax.cond(
+                r_active <= config.hybrid_switch_residual,
+                lambda a: _iterate_chunk(
+                    op, q_s, l_s, u_s, *a, ck, config, interpret,
+                    dot_mode="highest",
+                ),
+                lambda a: _iterate_chunk(
+                    op, q_s, l_s, u_s, *a, ck, config, interpret,
+                    dot_mode="bf16x3",
+                ),
+                chunk_args,
+            )
+        else:
+            x2, s2, y2, ax2 = _iterate_chunk(
+                op, q_s, l_s, u_s, idx, x, s, y, ax, ck, config, interpret
+            )
         # frozen lanes keep their converged state (kernel advances everyone;
         # keeping the first-converged iterate makes iteration counts exact)
         keep = done[:, None]

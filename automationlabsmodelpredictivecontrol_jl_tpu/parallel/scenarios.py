@@ -307,6 +307,7 @@ def _kernel_viable(controller: MpcController) -> bool:
         int(eng.op.A_s.shape[0]),
         int(eng.op.rho_grid.shape[0]),
         int(eng.config.refine_steps),
+        diag_a=getattr(eng.op, "diag_a", False),
     )
 
 
@@ -341,6 +342,14 @@ def fused_supported(controller: MpcController) -> bool:
         R = int(eng.op.rho_grid.shape[0])
         rs = int(eng.config.refine_steps)
         n = int(eng.op.A_s.shape[1])
+        if getattr(eng.op, "diag_a", False):
+            # the R>=4/refine band below was measured on the v2 dense
+            # kernel; diagonal-A operators run the transposed v3 kernel
+            # whose per-iteration MACs are ~6x smaller. Measured r5
+            # (TPU v5e, h20 QTP, B=8192, R=5/refine=1 — the middle of the
+            # old band, interleaved A/B): fused 165.8k vs vmap 80.9k
+            # solves/s — fused wins across the band
+            return True
         if R >= 4 and rs >= 1 and 24 <= n <= 64:
             return False  # measured vmap win (see docstring table)
         return True

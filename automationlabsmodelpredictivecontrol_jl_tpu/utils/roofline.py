@@ -132,6 +132,34 @@ def admm_iteration_model(
     return {"useful_flops": useful, "padded_flops": padded, "block": block}
 
 
+def admm_diag_iteration_model(
+    n: int, R: int, block: int = 1024, refine_steps: int = 0
+) -> Dict[str, float]:
+    """Per-iteration flops of the v3 transposed diag-A kernel
+    (ops/admm_pallas._iterate_kernel_diag) for one lane block.
+
+    One MXU dispatch per iteration (plus two per refinement step), each a
+    (R·n, n)@(n, block) dot in the transposed layout: the small operator
+    dim R·n sits in the sublane-granular M position (pad 8), the contraction
+    n pads to the 128 lane tile, and the lane axis fills N densely. Every
+    A-side product is elementwise (VPU) because A is diagonal — ``useful``
+    is the single-rho K-solve work only; the R-candidate redundancy and the
+    n→128 contraction padding are charged to ``padded``.
+    """
+    useful = 2.0 * block * n * n * (1 + 2 * refine_steps)
+    padded = (1 + 2 * refine_steps) * _matmul_flops(R * n, n, block, True)
+    return {"useful_flops": useful, "padded_flops": padded, "block": block}
+
+
+def admm_diag_chunk_bytes(n: int, R: int, block: int = 1024) -> float:
+    """HBM bytes per v3 kernel launch for one block: transposed lane state
+    in/out + the (tiny) stacked K operators."""
+    lane_in = block * (7 * n + 1) * 4  # q,l,u,idx,x,s,y,ax
+    lane_out = block * 4 * n * 4
+    shared = (2 * R * n * n + n + 2 * R * n) * 4
+    return float(lane_in + lane_out + shared)
+
+
 def admm_chunk_bytes(n: int, m: int, R: int, block: int = 1024) -> float:
     """HBM bytes moved per kernel launch for one block: lane state + vectors
     in/out plus the replicated packed operator matrices."""
@@ -160,13 +188,17 @@ def admm_diag_model(n: int, m: int, batch: int) -> Dict[str, float]:
 def _tier_model(op, config, batch: int, iterations: float) -> Dict[str, float]:
     """(padded/useful flops, bytes) for one solver tier executing
     ``iterations`` lockstep iterations over ``batch`` lanes."""
-    from ..ops.admm_pallas import _pick_block
+    from ..ops.admm_pallas import _pick_block, _pick_block_diag
 
     n = int(op.K_invs.shape[1])
     m = int(op.A_s.shape[0])
     R = int(op.rho_grid.shape[0])
     refine = int(getattr(config, "refine_steps", 0))
-    block = batch if batch < 8 else _pick_block(batch, n, m, R, refine)
+    diag_a = bool(getattr(op, "diag_a", False))
+    if diag_a:
+        block = batch if batch < 8 else _pick_block_diag(batch, n, R, refine)
+    else:
+        block = batch if batch < 8 else _pick_block(batch, n, m, R, refine)
     # _pick_block returns 0 when no block fits VMEM (such shapes run the
     # vmapped engine, not the kernel); model the smallest tile so the
     # report stays finite instead of dividing by zero (r4 review)
@@ -175,9 +207,12 @@ def _tier_model(op, config, batch: int, iterations: float) -> Dict[str, float]:
     chunk = max(1, int(config.check_interval))
     n_chunks = max(1.0, float(iterations) / chunk)
 
-    it = admm_iteration_model(
-        n, m, R, block, refine_steps=int(getattr(config, "refine_steps", 0))
-    )
+    if diag_a:
+        it = admm_diag_iteration_model(n, R, block, refine_steps=refine)
+        kernel_bytes = admm_diag_chunk_bytes(n, R, block)
+    else:
+        it = admm_iteration_model(n, m, R, block, refine_steps=refine)
+        kernel_bytes = admm_chunk_bytes(n, m, R, block)
     dg = admm_diag_model(n, m, batch)
     return {
         "n": n,
@@ -187,8 +222,7 @@ def _tier_model(op, config, batch: int, iterations: float) -> Dict[str, float]:
         + dg["padded_flops"] * n_chunks,
         "useful_flops": it["useful_flops"] * iterations * n_blocks
         + dg["useful_flops"] * n_chunks,
-        "bytes": admm_chunk_bytes(n, m, R, block) * n_chunks * n_blocks
-        + dg["bytes"] * n_chunks,
+        "bytes": kernel_bytes * n_chunks * n_blocks + dg["bytes"] * n_chunks,
     }
 
 

@@ -212,6 +212,11 @@ def main():
                     "dispatch_floor_ms": round(dispatch_floor_ms, 3),
                     "on_device_step_ms_4096lanes": round(on_device_step_ms, 3),
                     "on_device_steps_per_sec": round(B_cl * n_cl / dt_cl, 1),
+                    # same loop as BENCH_SUITE closed_loop_on_device_h20 but
+                    # at the TIER-1 budget; the suite row uses max_iter=400
+                    # + refine 1 (certified-depth stepping) — that budget
+                    # difference is the entire gap between the two rows
+                    "on_device_solver_budget": "tier1: max_iter=75, refine=0",
                     "on_device_converged_step_fraction": round(cl_ok, 4),
                     "realtime_budget_s": qtp.SAMPLE_TIME,
                     "realtime_margin": round(qtp.SAMPLE_TIME / p99_single, 1),

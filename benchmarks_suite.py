@@ -309,6 +309,10 @@ def main():
         B,
         {
             "unit_note": "controller steps/s (B x n_steps / wall)",
+            # bench.py's on_device_* extras run the SAME loop at the tier-1
+            # budget (max_iter=75, refine 0) and therefore report higher
+            # steps/s; this row steps at certified depth
+            "solver_budget": "max_iter=400, refine_steps=1",
             "n_steps": n_steps,
             "per_step_ms_amortized": round(dt8 / n_steps * 1e3, 3),
             "converged_step_fraction": round(ok, 4),

@@ -115,11 +115,23 @@ def test_fused_routing_shape_aware():
     wide = AdmmConfig(max_iter=200)  # R=5 grid, refine_steps=1
     lean = AdmmConfig(max_iter=200, rho=1.0, rho_grid=(1.0, 10.0),
                       refine_steps=0)
-    c_band = mk(20, wide)  # n=40: inside the measured vmap band
+    # diagonal-A (box-only) operators run the v3 transposed kernel and are
+    # EXEMPT from the band (r5 measured: fused 165.8k vs vmap 80.9k at the
+    # band's center shape) — the band only applies to dense operators
+    c_diag_band = mk(20, wide)  # n=40, box-only -> diag, fused
+    assert c_diag_band.engine.op.diag_a
+    assert parallel.fused_supported(c_diag_band)
+    mk_dense = lambda N, cfg: mpc.proceed_controller(
+        sys, "model_predictive_control", N, 5.0, np.full(4, 0.65),
+        np.full(2, 1.2), engine="condensed", admm_config=cfg,
+        mpc_state_constraint=True,
+    )
+    c_band = mk_dense(20, wide)  # n=40 dense: inside the measured vmap band
+    assert not c_band.engine.op.diag_a
     assert not parallel.fused_supported(c_band)
-    assert parallel.fused_supported(mk(20, lean))  # lean grid: fused
-    assert parallel.fused_supported(mk(5, wide))  # n=10 < band: fused
-    assert parallel.fused_supported(mk(50, wide))  # n=100 > band: fused
+    assert parallel.fused_supported(mk_dense(20, lean))  # lean grid: fused
+    assert parallel.fused_supported(mk_dense(5, wide))  # n=10 < band: fused
+    assert parallel.fused_supported(mk_dense(50, wide))  # n=100 > band: fused
 
     x0s = _x0_batch(4, seed=3)
     sol_a, wz_a, wy_a, diag = parallel.solve_batch_auto(c_band, x0s)
