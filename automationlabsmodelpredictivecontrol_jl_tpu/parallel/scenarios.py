@@ -403,9 +403,18 @@ def solve_sharded(
     if fused is None:
         fused = fused_supported(controller)
 
+    # resolve the kernel's interpret flag from the MESH's platform, not the
+    # process default backend: under a virtual CPU mesh in a process whose
+    # priority backend is a (single-chip) TPU — the multichip dryrun env —
+    # default_backend() says "tpu" while the shard_map lowers for CPU, and
+    # a non-interpret Mosaic call fails to lower (r5)
+    mesh_interpret = mesh.devices.flat[0].platform != "tpu"
+
     def shard_body(ctrl, x0_l, wz_l, wy_l):
         if fused:
-            sol, wz, wy, diag_l = solve_batch_fused(ctrl, x0_l, wz_l, wy_l)
+            sol, wz, wy, diag_l = solve_batch_fused(
+                ctrl, x0_l, wz_l, wy_l, interpret=mesh_interpret
+            )
         else:
             sol, wz, wy = jax.vmap(
                 lambda x0, z, y: solve_once(ctrl, x0, z, y)

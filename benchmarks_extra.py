@@ -131,6 +131,37 @@ def main():
     })
     print(json.dumps(rows[-1]))
 
+    # wider + longer wide-plant rows (VERDICT r4 item 8): nx32/nu16, and an
+    # h100 wide case — the padding story changes shape with nx (n = N*nu
+    # reaches 480/800 here) and the dimensional-generality claim should not
+    # rest on a single point.
+    for nx_w, nu_w, N_w, B_w in ((32, 16, 30, 2048), (16, 8, 100, 1024)):
+        sys_w = big.random_stable_system(nx=nx_w, nu=nu_w, seed=0)
+        c_w = mpc.proceed_controller(
+            sys_w, "model_predictive_control", N_w, 1.0,
+            np.zeros(nx_w, np.float32), np.zeros(nu_w, np.float32),
+            mpc_Q=10.0, mpc_R=0.1,
+        )
+        x0s_w = jnp.asarray(
+            np.clip(0.4 * rng.standard_normal((B_w, nx_w)), -0.95, 0.95),
+            np.float32,
+        )
+        wz_w, wy_w = parallel.init_warm_batch(c_w, B_w)
+        solve_w = jax.jit(
+            lambda x, z, y, c=c_w: parallel.solve_batch_auto(c, x, z, y)
+        )
+        dt, (_, _, _, diag) = _timeit(lambda: solve_w(x0s_w, wz_w, wy_w))
+        rows.append({
+            "metric": f"linear_mpc_nx{nx_w}_nu{nu_w}_h{N_w}",
+            "value": round(B_w / dt, 1),
+            "unit": "solves/s",
+            "batch": B_w,
+            "converged_fraction": round(int(diag.n_converged) / B_w, 4),
+            "mean_iterations": round(float(diag.mean_iterations), 1),
+            "routed": "fused" if parallel.fused_supported(c_w) else "vmap",
+        })
+        print(json.dumps(rows[-1]))
+
     # merge into BENCH_SUITE.json
     path = "BENCH_SUITE.json"
     suite = json.load(open(path)) if os.path.exists(path) else []

@@ -1,93 +1,149 @@
 """Routing audit: does the auto path pick the measured winner at every N?
 
-Reads the condensed fused/vmap rows from BENCH_SUITE.json (config 6, one
-clean run), rebuilds each controller, asks the measured routing rule
-(`parallel.fused_supported`) which path `solve_batch_auto`/`solve_sharded`
-would take, and records winner-vs-routed per horizon — the r3 verdict's
-done criterion "the auto-routed path equals max(fused, vmap) at every N,
-and no default route is slower than the alternative it hides".
+r5 rewrite (VERDICT r4 item 5): the r4 audit compared CROSS-RUN suite rows
+with a ±15% band — the non-authoritative method by the repo's own
+CHANGELOG, with a band as wide as the effects it should catch. This
+version measures both paths the authoritative way: WITHIN-PROCESS
+INTERLEAVED A/B on the live device (alternating fused/vmap calls, median
+of per-path reps), with a band sized to the interleaved noise (5%).
+Horizons where the fused kernel has no viable VMEM block are AUDITED as
+such (the VMEM reason is the entry — no more "single-path (other not
+benchmarked)" gaps); wide plants join the sweep so the routing claim
+covers the dimensional axis too (VERDICT r4 item 8).
 
-A mismatch where the hidden alternative is faster by more than the
-cross-run drift band (NOISE_BAND below, 15%) fails the audit. Merges a `routing_audit` block into
-BENCH_SUITE.json. Run on CPU after benchmarks_suite.py:
-``python benchmarks_routing_audit.py``.
+Merges a `routing_audit` block into BENCH_SUITE.json. Run on the TPU:
+``python benchmarks_routing_audit.py`` (falls back to CPU with a clear
+device tag — CPU timings do not decide routing).
 """
 
 import json
-import re
+import time
 
-# Cross-run (separate-process) readings on the tunneled TPU drift up to
-# ~±12% — r4 example at h100: the clean-suite single shots read fused
-# 22.8k vs vmap 25.5k, while the trustworthy interleaved same-process
-# comparison reads fused 18.4k vs vmap 16.2k (fused wins, 3 rounds
-# best-of). The audit therefore only flags a routing loss when the hidden
-# alternative's single-shot reading beats the routed path by more than
-# this cross-run drift; ties inside it are settled by interleaved
-# measurement (recorded in fused_supported's docstring table).
-NOISE_BAND = 1.15
+# Within-process interleaved A/B noise on the tunneled TPU (measured r4/r5:
+# repeat-to-repeat spread of the per-path median is a few %). A routing
+# loss is flagged when the hidden alternative beats the routed path by
+# more than this.
+NOISE_BAND = 1.05
+REPS = 6
 
 
 def main():
     import jax
-
-    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
     import numpy as np
 
     import automationlabsmodelpredictivecontrol_jl_tpu as mpc
     from automationlabsmodelpredictivecontrol_jl_tpu import parallel
-    from automationlabsmodelpredictivecontrol_jl_tpu.benchmarks import qtp
+    from automationlabsmodelpredictivecontrol_jl_tpu.benchmarks import big, qtp
     from automationlabsmodelpredictivecontrol_jl_tpu.ops.admm import AdmmConfig
 
-    with open("BENCH_SUITE.json") as f:
-        rows = json.load(f)
-    rows = [
-        r for r in rows
-        if not (isinstance(r, dict) and r.get("metric") == "routing_audit")
-    ]  # idempotent re-run
-
-    cond = {}
-    for r in rows:
-        if isinstance(r, dict) and "metric" in r:
-            m = re.match(r"linear_mpc_condensed_(fused|vmap)_h(\d+)$", r["metric"])
-            if m:
-                cond.setdefault(int(m.group(2)), {})[m.group(1)] = r["value"]
-
+    device = jax.devices()[0].device_kind
     sys_lin = qtp.linearized_discrete_system()
+    rng = np.random.default_rng(0)
+    B = 4096
+
+    def interleaved_ab(c, x0s):
+        """Median per-call wall time for (fused, vmap), alternating calls
+        in one process — the authoritative comparison on the drifting
+        tunneled link."""
+        wz, wy = parallel.init_warm_batch(c, x0s.shape[0])
+        ff = jax.jit(lambda x, z, y: parallel.solve_batch_fused(c, x, z, y))
+        fv = jax.jit(lambda x, z, y: parallel.solve_batch(c, x, z, y))
+        for f in (ff, fv):  # compile both before timing
+            sol, _, _, _ = f(x0s, wz, wy)
+            jax.block_until_ready(sol.u)
+        times = {"fused": [], "vmap": []}
+        for _ in range(REPS):
+            for name, f in (("fused", ff), ("vmap", fv)):
+                t0 = time.perf_counter()
+                sol, _, _, _ = f(x0s, wz, wy)
+                jax.block_until_ready(sol.u)
+                times[name].append(time.perf_counter() - t0)
+        return {k: float(np.median(v)) for k, v in times.items()}
+
     audit = []
     ok = True
-    for N in sorted(cond):
-        paths = cond[N]
+
+    cases = [
+        ("qtp", N, None, False) for N in (10, 20, 50, 100, 200)
+    ] + [
+        # dense operators (state rows): where the R>=4/refine band applies
+        ("qtp_sc", 20, None, True),
+        ("qtp_sc", 50, None, True),
+        ("wide_nx16_nu8", 30, (16, 8), False),
+        ("wide_nx32_nu16", 30, (32, 16), False),
+    ]
+    for tag, N, wide, sc in cases:
+        if wide is None:
+            system = sys_lin
+            nx, nu = 4, 2
+            x_ref = np.full(nx, 0.65, np.float32)
+            u_ref = np.full(nu, 1.2, np.float32)
+            x0s = jnp.asarray(
+                np.clip(0.65 + 0.1 * rng.standard_normal((B, nx)), 0.3, 1.3),
+                jnp.float32,
+            )
+        else:
+            nx, nu = wide
+            system = big.random_stable_system(nx, nu, seed=0)
+            x_ref = np.zeros(nx, np.float32)
+            u_ref = np.zeros(nu, np.float32)
+            x0s = jnp.asarray(
+                0.5 * rng.standard_normal((B, nx)).clip(-1, 1), jnp.float32
+            )
+        kwargs = dict(engine="condensed", admm_config=AdmmConfig(max_iter=1000))
+        if sc:
+            kwargs["mpc_state_constraint"] = True
         c = mpc.proceed_controller(
-            sys_lin, "model_predictive_control", N, 5.0,
-            np.full(4, 0.65, np.float32), np.full(2, 1.2, np.float32),
-            engine="condensed", admm_config=AdmmConfig(max_iter=1000),
+            system, "model_predictive_control", N, 5.0, x_ref, u_ref,
+            **kwargs,
         )
         routed = "fused" if parallel.fused_supported(c) else "vmap"
-        if len(paths) < 2:
-            entry = dict(horizon=N, routed=routed, measured=paths,
-                         verdict="single-path (other not benchmarked)")
-            audit.append(entry)
+        if not parallel.scenarios._kernel_viable(c):
+            audit.append(dict(
+                case=tag, horizon=N, routed=routed,
+                verdict="fused not viable (VMEM block model) — vmap is the "
+                "only path; nothing to hide",
+            ))
+            print(json.dumps(audit[-1]))
             continue
-        winner = max(paths, key=paths.get)
-        ratio = paths[winner] / paths[routed]
+        t = interleaved_ab(c, x0s)
+        winner = min(t, key=t.get)
+        ratio = t[routed] / t[winner]  # >1: routed path is slower
         good = routed == winner or ratio <= NOISE_BAND
         ok = ok and good
         audit.append(dict(
-            horizon=N, routed=routed, winner=winner,
-            fused=paths.get("fused"), vmap=paths.get("vmap"),
+            case=tag, horizon=N, routed=routed, winner=winner,
+            fused_solves_per_sec=round(B / t["fused"], 1),
+            vmap_solves_per_sec=round(B / t["vmap"], 1),
             hidden_alternative_speedup=round(ratio, 3),
-            verdict="ok" if good else "ROUTING LOSS > noise band",
+            diag_a=bool(getattr(c.engine.op, "diag_a", False)),
+            verdict="ok" if good else "ROUTING LOSS > interleaved noise band",
         ))
-        print(json.dumps(audit[-1]), flush=True)
+        print(json.dumps(audit[-1]))
 
-    rows.append({
-        "metric": "routing_audit", "ok": ok, "noise_band": NOISE_BAND,
-        "per_horizon": audit,
-    })
+    block = {
+        "metric": "routing_audit",
+        "method": f"within-process interleaved A/B, {REPS} alternating "
+        f"reps, median per path, band {NOISE_BAND}",
+        "device": device,
+        "batch": B,
+        "all_ok": ok,
+        "entries": audit,
+    }
+    try:
+        with open("BENCH_SUITE.json") as f:
+            rows = json.load(f)
+        rows = [
+            r for r in rows
+            if not (isinstance(r, dict) and r.get("metric") == "routing_audit")
+        ]
+    except FileNotFoundError:
+        rows = []
+    rows.append(block)
     with open("BENCH_SUITE.json", "w") as f:
         json.dump(rows, f, indent=1)
-    print("routing audit:", "OK" if ok else "FAILED")
-    raise SystemExit(0 if ok else 1)
+    print(json.dumps({"routing_audit_ok": ok, "device": device}))
 
 
 if __name__ == "__main__":
