@@ -452,16 +452,22 @@ def _iterate_kernel_diag(
 
 
 def _pick_block_diag(
-    B: int, n: int, R: int, refine_steps: int, budget_mb: float = 14.5,
+    B: int, n: int, R: int, refine_steps: int, budget_mb: float = 12.0,
 ) -> int:
     """Largest lane block for the transposed diag kernel within the 14.5 MB
     VMEM budget. Lane state is (n, blk) x 11 (7 in + 4 aliased out, double-
-    buffered); GEMM temporaries are (R*n, blk)."""
-    for blk in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+    buffered); GEMM temporaries are (R*n, blk) — counted at 2 live slabs
+    per K-solve plus 2 per refinement step, DOUBLED for the multi-program
+    grid's pipelining (hardware-calibrated r5: n=200/R=5/refine=1 places
+    at blk=128 and OOMs at 256 under a 16-program grid while a single
+    program places 256 fine; the headline n=40/R=2/refine=0 blk=2048 is
+    compile-verified). Blocks under 128 lanes are invalid — the lane axis
+    is the 128-wide minor tile and Mosaic rejects smaller blocks."""
+    for blk in (4096, 2048, 1024, 512, 256, 128):
         if B % blk:
             continue
         lane = (11 * n + 1) * blk * 4
-        temps = (2 + (2 if refine_steps else 0)) * R * n * blk * 4
+        temps = 2 * (2 + 2 * refine_steps) * R * n * blk * 4
         shared = (2 * R * n * n + n + 2 * n * R) * 4
         if 2 * lane + temps + shared < int(budget_mb * 2**20):
             return blk
@@ -483,17 +489,45 @@ def _iterate_chunk_diag(
     interpret: bool = False,
     dot_mode: Optional[str] = None,
 ) -> Tuple[Array, Array, Array, Array]:
-    """Diag-A chunk driver: transpose to the lane-last layout, run the v3
-    kernel, transpose back. The transposes are per-chunk (~20 MB HBM at the
-    headline batch) — noise next to a 25-iteration chunk of kernel work."""
-    B, n = q_s.shape
+    """Diag-A chunk driver at the STANDARD (B, n) layout boundary:
+    transpose, run the transposed core, transpose back. The fully
+    transposed solve driver (_solve_batch_fused_diag) skips this wrapper
+    and calls :func:`_iterate_chunk_diag_T` directly — its state never
+    leaves the lane-last layout between chunks."""
+    out = _iterate_chunk_diag_T(
+        op, q_s.T, l_s.T, u_s.T, idx, x.T, s.T, y.T, ax.T,
+        chunk, config, interpret, dot_mode,
+    )
+    return tuple(o.T for o in out)
+
+
+def _iterate_chunk_diag_T(
+    op: AdmmOperator,
+    qT: Array,  # (n, B) scaled, LANE-LAST layout
+    lT: Array,
+    uT: Array,
+    idx: Array,  # (B,)
+    xT: Array,
+    sT: Array,
+    yT: Array,
+    axT: Array,
+    chunk: int,
+    config: AdmmConfig,
+    interpret: bool = False,
+    dot_mode: Optional[str] = None,
+) -> Tuple[Array, Array, Array, Array]:
+    """Transposed-core diag chunk: all operands already lane-last."""
+    n, B = qT.shape
     R = int(op.rho_grid.shape[0])
     # under the hybrid per-chunk lax.cond the input/output aliasing is
     # broken by branch-boundary copies and the kernel's true VMEM footprint
     # grows ~3 MB past the model (measured r5: dense h20 OOM at 17.45M)
-    # — shrink the budget so the block picker stays inside the real limit
-    budget = 11.0 if dot_mode is not None else 14.5
-    blk = B if B < 8 else _pick_block_diag(
+    # — shrink the budget further so the block picker stays inside the
+    # real limit (base diag budget 12 MB, see _pick_block_diag)
+    budget = 9.5 if dot_mode is not None else 12.0
+    # interpret mode (CPU tests) has no 128-lane block constraint; on
+    # hardware the driver pads B to a multiple of 128 before reaching here
+    blk = B if (B < 128 and interpret) else _pick_block_diag(
         B, n, R, int(config.refine_steps), budget_mb=budget
     )
     if blk == 0:
@@ -534,10 +568,10 @@ def _iterate_chunk_diag(
         interpret=interpret,
     )(
         kicat, kcat, dvec, rhovT, rhoiT,
-        q_s.T, l_s.T, u_s.T, idx[None, :].astype(jnp.int32),
-        x.T, s.T, y.T, ax.T,
+        qT, lT, uT, idx[None, :].astype(jnp.int32),
+        xT, sT, yT, axT,
     )
-    return tuple(o.T for o in out)
+    return tuple(out)
 
 
 def _iterate_kernel_perr(
@@ -741,6 +775,162 @@ def _iterate_chunk(
     return tuple(out)
 
 
+def _solve_batch_fused_diag(
+    op: AdmmOperator,
+    q: Array,  # (B, n) unscaled — standard layout at the API boundary
+    l: Array,
+    u: Array,
+    z0: Optional[Array],
+    y0: Optional[Array],
+    config: AdmmConfig,
+    interpret: bool,
+):
+    """Fully TRANSPOSED solve driver for diagonal-A operators.
+
+    The v3 kernel keeps lane state in the (n, B) lane-last layout; the r5
+    first cut transposed at every chunk boundary (24 relayouts of the full
+    state per solve) and ran the between-chunk diagnostics in the (B, n)
+    layout whose matmuls pad BOTH operand dims to 128. This driver
+    transposes ONCE at entry/exit and stays lane-last throughout:
+
+    - diagnostics matmul Px becomes P_s @ x — M = n exact (sublane 8),
+      K = n -> 128, N = B dense: ~3x fewer padded MACs than x @ P_s';
+    - with A diagonal, A'y / Ax are elementwise rows (no matmul at all);
+    - per-lane reductions run over axis 0 (sublanes) into (B,) vectors.
+    Semantics identical to the generic driver below (exact unscaled
+    residuals, OSQP rho rule, per-lane NaN guard, honest statuses)."""
+    B = q.shape[0]
+    dt = jnp.float32
+    R = op.rho_grid.shape[0]
+    ck = max(1, int(config.check_interval))
+    H = jax.lax.Precision.HIGHEST
+
+    D_c = op.D[:, None]  # (n, 1)
+    E_c = op.E[:, None]
+    dvec = jnp.diagonal(op.A_s)[:, None]
+    qT = (op.c * op.D)[:, None] * q.T  # (n, B)
+    lT = E_c * l.T
+    uT = E_c * u.T
+
+    x = jnp.zeros_like(qT) if z0 is None else z0.T / D_c
+    y = jnp.zeros_like(qT) if y0 is None else op.c * y0.T / E_c
+    ax = dvec * x
+    idx0 = jnp.full((B,), start_rho_index(config) if R > 1 else 0, jnp.int32)
+    rho_inv0 = jnp.take(op.rho_invs, idx0, axis=0).T  # (m, B)
+    s = jnp.clip(ax + rho_inv0 * y, lT, uT)
+
+    D_inv = (1.0 / op.D)[:, None]
+    E_inv = (1.0 / op.E)[:, None]
+    c_inv = 1.0 / op.c
+    log_grid = jnp.log(op.rho_grid)
+    dual_norm_q = jnp.max(jnp.abs(D_inv * qT), axis=0)  # loop constant
+
+    def diagnostics(x, s, y, ax):
+        r_prim = jnp.max(jnp.abs(E_inv * (ax - s)), axis=0)
+        Px = jnp.matmul(op.P_s, x, precision=H)  # P_s symmetric
+        Aty = dvec * y
+        r_dual = c_inv * jnp.max(jnp.abs(D_inv * (Px + qT + Aty)), axis=0)
+        prim_norm = jnp.maximum(
+            jnp.max(jnp.abs(E_inv * ax), axis=0),
+            jnp.max(jnp.abs(E_inv * s), axis=0),
+        )
+        dual_norm = c_inv * jnp.maximum(
+            jnp.maximum(
+                jnp.max(jnp.abs(D_inv * Px), axis=0),
+                jnp.max(jnp.abs(D_inv * Aty), axis=0),
+            ),
+            dual_norm_q,
+        )
+        conv = (r_prim <= config.eps_abs + config.eps_rel * prim_norm) & (
+            r_dual <= config.eps_abs + config.eps_rel * dual_norm
+        )
+        ratio = (r_prim / jnp.maximum(prim_norm, 1e-12)) / jnp.maximum(
+            r_dual / jnp.maximum(dual_norm, 1e-12), 1e-12
+        )
+        finite = jnp.isfinite(
+            jnp.sum(x, axis=0) + jnp.sum(y, axis=0) + jnp.sum(s, axis=0)
+        )
+        return r_prim, r_dual, conv, ratio, finite
+
+    def adapt(idx, ratio, done):
+        if R == 1 or not config.adapt_interval:
+            return idx
+        log_target = jnp.take(log_grid, idx) + 0.5 * jnp.log(
+            jnp.clip(ratio, 1e-8, 1e8)
+        )
+        idx_new = jnp.argmin(
+            jnp.abs(log_grid[None, :] - log_target[:, None]), axis=1
+        ).astype(jnp.int32)
+        return jnp.where(done, idx, idx_new)
+
+    def cond(state):
+        it, done = state[5], state[8]
+        return (~jnp.all(done)) & (it < config.max_iter)
+
+    hybrid = str(config.kernel_precision) == "hybrid"
+
+    def body(state):
+        x, s, y, ax, idx, it, rp, rd, done, itl, bad = state
+        if hybrid:
+            r_active = jnp.max(jnp.where(done, 0.0, jnp.maximum(rp, rd)))
+            chunk_args = (idx, x, s, y, ax)
+            x2, s2, y2, ax2 = jax.lax.cond(
+                r_active <= config.hybrid_switch_residual,
+                lambda a: _iterate_chunk_diag_T(
+                    op, qT, lT, uT, *a, ck, config, interpret,
+                    dot_mode="highest",
+                ),
+                lambda a: _iterate_chunk_diag_T(
+                    op, qT, lT, uT, *a, ck, config, interpret,
+                    dot_mode="bf16x3",
+                ),
+                chunk_args,
+            )
+        else:
+            x2, s2, y2, ax2 = _iterate_chunk_diag_T(
+                op, qT, lT, uT, idx, x, s, y, ax, ck, config, interpret
+            )
+        keep = done[None, :]
+        x2 = jnp.where(keep, x, x2)
+        s2 = jnp.where(keep, s, s2)
+        y2 = jnp.where(keep, y, y2)
+        ax2 = jnp.where(keep, ax, ax2)
+        rp2, rd2, conv, ratio, finite = diagnostics(x2, s2, y2, ax2)
+        bad2 = bad | (~finite & ~done)
+        done2 = done | conv | ~finite
+        itl2 = jnp.where(done, itl, it + ck)
+        idx2 = adapt(idx, ratio, done2)
+        return (x2, s2, y2, ax2, idx2, it + ck, rp2, rd2, done2, itl2, bad2)
+
+    zeros = jnp.zeros((B,), dt)
+    state = (
+        x, s, y, ax, idx0,
+        jnp.asarray(0, jnp.int32),
+        zeros + jnp.inf,
+        zeros + jnp.inf,
+        zeros > 1.0,
+        jnp.zeros((B,), jnp.int32),
+        zeros > 1.0,
+    )
+    x, s, y, ax, idx, it, rp, rd, done, iters, bad = jax.lax.while_loop(
+        cond, body, state
+    )
+    status = jnp.where(
+        bad,
+        STATUS_NUMERIC_ERROR,
+        jnp.where(done, STATUS_CONVERGED, STATUS_MAX_ITER),
+    ).astype(jnp.int32)
+    return (
+        (D_c * x).T,
+        (E_c * y * c_inv).T,
+        (E_inv * s).T,
+        status,
+        iters,
+        rp,
+        rd,
+    )
+
+
 def solve_batch_fused(
     op: AdmmOperator,
     q: Array,  # (B, n) unscaled
@@ -765,13 +955,14 @@ def solve_batch_fused(
         # Mosaic kernels need a real TPU; interpret elsewhere (tests/CPU)
         interpret = jax.default_backend() != "tpu"
     B_orig, _ = q.shape
-    if B_orig >= 8 and B_orig % 8:
-        # _pick_block only considers power-of-two blocks (8..1024) that
-        # divide B; pad the batch up to a multiple of 8 (replicating the
-        # last lane — it converges like any real lane) and slice back, so
-        # e.g. B=100 routes through the kernel instead of raising a
-        # misleading "no block size fits VMEM" at trace time.
-        pad_to = -(-B_orig // 8) * 8
+    # Alignment: the dense kernel blocks on the sublane axis (multiple of
+    # 8); the transposed diag kernel blocks on the LANE axis, whose minor
+    # tile is 128 — Mosaic rejects smaller lane blocks on hardware (r5),
+    # so any batch is padded up to the alignment (replicating the last
+    # lane — it converges like any real lane) and sliced back.
+    align = 128 if (getattr(op, "diag_a", False) and not interpret) else 8
+    if (B_orig >= 8 or align == 128) and B_orig % align:
+        pad_to = -(-B_orig // align) * align
         rep = lambda a: (
             None
             if a is None
@@ -783,6 +974,10 @@ def solve_batch_fused(
             op, rep(q), rep(l), rep(u), rep(z0), rep(y0), config, interpret
         )
         return tuple(o[:B_orig] for o in out)
+    if getattr(op, "diag_a", False):
+        return _solve_batch_fused_diag(
+            op, q, l, u, z0, y0, config, interpret
+        )
     B, n = q.shape
     m = l.shape[1]
     dt = jnp.float32
