@@ -343,12 +343,20 @@ def fused_supported(controller: MpcController) -> bool:
         rs = int(eng.config.refine_steps)
         n = int(eng.op.A_s.shape[1])
         if getattr(eng.op, "diag_a", False):
-            # the R>=4/refine band below was measured on the v2 dense
-            # kernel; diagonal-A operators run the transposed v3 kernel
-            # whose per-iteration MACs are ~6x smaller. Measured r5
-            # (TPU v5e, h20 QTP, B=8192, R=5/refine=1 — the middle of the
-            # old band, interleaved A/B): fused 165.8k vs vmap 80.9k
-            # solves/s — fused wins across the band
+            # v3 diag kernel routing, audited r5 (benchmarks_routing_audit
+            # interleaved A/B, B=4096, suite x0 distribution): lean
+            # configs (refine=0 or R<=2) are fused everywhere — the
+            # headline tier-1 regime, fused wins by multiples. With a wide
+            # grid AND refinement (3 MXU dispatches/iter at M=R*n) the
+            # vmapped engine wins at small n (h10 n=20: 137.8k vs 123.4k;
+            # h20 n=40: 113.8k vs 92.5k) while fused wins from n~100 up
+            # (h50 n=100: 87.4k vs 26.2k — 3.3x; wide nx16 h30 n=240:
+            # 107.6k vs 86.1k). NOTE: the A/B at these shapes is
+            # x0-distribution dependent (straggler tails change the
+            # lockstep depth and the two paths' cost ratios) — the audit
+            # distribution is the committed basis for this band.
+            if R >= 4 and rs >= 1 and n <= 64:
+                return False
             return True
         if R >= 4 and rs >= 1 and 24 <= n <= 64:
             return False  # measured vmap win (see docstring table)

@@ -88,7 +88,18 @@ def riccati_controller():
 
 
 def test_fused_supported_dispatch(controller, riccati_controller):
-    assert parallel.fused_supported(controller)
+    # the module fixture is h5 with the DEFAULT wide-grid + refined config
+    # (R=5, refine=1) on a diag operator: inside the audited small-n vmap
+    # band (r5 routing audit). The lean variant routes fused.
+    assert not parallel.fused_supported(controller)
+    from automationlabsmodelpredictivecontrol_jl_tpu.ops.admm import AdmmConfig
+
+    lean = mpc.proceed_controller(
+        qtp.linearized_discrete_system(), "model_predictive_control", 5, 5.0,
+        np.full(4, 0.65), np.full(2, 1.2),
+        admm_config=AdmmConfig(rho=1.0, rho_grid=(1.0, 10.0), refine_steps=0),
+    )
+    assert parallel.fused_supported(lean)
     # the Riccati engine defaults to its (measured-faster) vmapped path;
     # the Pallas kernel stays reachable via solve_batch_fused / fused=True
     assert not parallel.fused_supported(riccati_controller)
@@ -115,12 +126,14 @@ def test_fused_routing_shape_aware():
     wide = AdmmConfig(max_iter=200)  # R=5 grid, refine_steps=1
     lean = AdmmConfig(max_iter=200, rho=1.0, rho_grid=(1.0, 10.0),
                       refine_steps=0)
-    # diagonal-A (box-only) operators run the v3 transposed kernel and are
-    # EXEMPT from the band (r5 measured: fused 165.8k vs vmap 80.9k at the
-    # band's center shape) — the band only applies to dense operators
-    c_diag_band = mk(20, wide)  # n=40, box-only -> diag, fused
+    # diagonal-A (box-only) operators run the v3 transposed kernel with
+    # their own audited band (r5 routing audit): wide-grid+refined configs
+    # route to vmap at n<=64, fused above; lean configs are always fused
+    c_diag_band = mk(20, wide)  # n=40, R=5/refine=1 -> audited vmap win
     assert c_diag_band.engine.op.diag_a
-    assert parallel.fused_supported(c_diag_band)
+    assert not parallel.fused_supported(c_diag_band)
+    assert parallel.fused_supported(mk(20, lean))  # lean diag: fused
+    assert parallel.fused_supported(mk(50, wide))  # n=100 diag: fused
     mk_dense = lambda N, cfg: mpc.proceed_controller(
         sys, "model_predictive_control", N, 5.0, np.full(4, 0.65),
         np.full(2, 1.2), engine="condensed", admm_config=cfg,
