@@ -230,7 +230,8 @@ def _pick_block(
 
 
 def fused_fits(
-    n: int, m: int, R: int, refine_steps: int, diag_a: bool = False
+    n: int, m: int, R: int, refine_steps: int, diag_a: bool = False,
+    mixed_a: bool = False,
 ) -> bool:
     """True when a USEFUL block size fits the kernel's VMEM budget for
     this problem shape — the routing layer (parallel.fused_supported)
@@ -239,10 +240,12 @@ def fused_fits(
     are excluded: at that point the shared operator slabs crowd out the
     lane state, per-dispatch GEMMs shrink below the MXU tile, and the
     vmapped engine wins regardless (measured h200+: the kernel either
-    fails to place or trails vmap). Diagonal-A operators route to the
-    transposed v3 kernel, whose footprint is far smaller."""
+    fails to place or trails vmap). Diagonal-A / mixed operators route to
+    the transposed v3 kernels, whose footprints are far smaller."""
     if diag_a:
         return _pick_block_diag(1024, n, R, refine_steps) >= 64
+    if mixed_a:
+        return _pick_block_mixed(1024, n, m, R, refine_steps) >= 128
     return _pick_block(1024, n, m, R, refine_steps) >= 64
 
 
@@ -574,6 +577,204 @@ def _iterate_chunk_diag_T(
     return tuple(out)
 
 
+def _iterate_kernel_mixed(
+    # inputs (VMEM) — TRANSPOSED layout; A = [diag(d); A2] with A2 dense
+    kicat_ref,  # (R*n, n) stacked K_r^{-1}
+    kcat_ref,  # (R*n, n) stacked K_r (refinement only)
+    a2_ref,  # (ms, n) dense state-row block
+    a2t_ref,  # (n, ms) its transpose (precomputed; in-kernel transposes
+    # cost relayouts)
+    dvec_ref,  # (n, 1) diag of the box block
+    rhovT_ref,  # (m, R)
+    rhoiT_ref,  # (m, R)
+    q_ref,  # (n, BLK)
+    l_ref,  # (m, BLK)
+    u_ref,  # (m, BLK)
+    idx_ref,  # (1, BLK)
+    x_in,  # (n, BLK)
+    s_in,  # (m, BLK)
+    y_in,
+    ax_in,
+    x_out,
+    s_out,
+    y_out,
+    ax_out,
+    *,
+    R: int,
+    n: int,
+    m: int,
+    chunk: int,
+    sigma: float,
+    alpha: float,
+    refine_steps: int,
+    dot_mode: str,
+):
+    """Kernel v3-mixed: condensed MPC with state rows.
+
+    Every condensed MPC's first n constraint rows are the (diagonal) input
+    box; only the state-box / terminal rows are dense. The v2 kernel
+    treated the whole A as dense; here the box block runs on the VPU and
+    the MXU sees only the (ms, n) dense tail — per-lane padded MACs at the
+    state-constrained h20 shape drop ~4.5x vs the v2 packed variant
+    (measured r5 routing audit: v2 fused lost to vmap here). Layout and
+    rho handling follow _iterate_kernel_diag."""
+    q = q_ref[:]
+    l = l_ref[:]
+    u = u_ref[:]
+    idx = idx_ref[:]
+    ms = m - n
+
+    ones_m = jnp.ones_like(l)
+    d = dvec_ref[:] * jnp.ones_like(q)  # (n, BLK)
+    masks_m = [(idx == r).astype(jnp.float32) * ones_m for r in range(R)]
+    rho = jnp.zeros_like(l)
+    rho_inv = jnp.zeros_like(l)
+    for r in range(R):
+        rho = rho + masks_m[r] * rhovT_ref[:, r : r + 1]
+        rho_inv = rho_inv + masks_m[r] * rhoiT_ref[:, r : r + 1]
+    masks_n = [mk[:n, :] for mk in masks_m]
+
+    def select_rows(cand):  # (R*n, BLK) -> (n, BLK)
+        out = masks_n[0] * cand[:n, :]
+        for r in range(1, R):
+            out = out + masks_n[r] * cand[r * n : (r + 1) * n, :]
+        return out
+
+    # opdots created AFTER the broadcast preamble (Mosaic layout-inference
+    # order sensitivity — see _iterate_kernel_diag)
+    dot_ki = _make_opdot(dot_mode, kicat_ref[:])
+    dot_kc = _make_opdot(dot_mode, kcat_ref[:]) if refine_steps else None
+    dot_a2t = _make_opdot(dot_mode, a2t_ref[:])
+    dot_a2 = _make_opdot(dot_mode, a2_ref[:])
+
+    def body(_, state):
+        x, s, y, ax = state
+        yb, yt = y[:n, :], y[n:, :]
+        rs_all = rho * s
+        aty = d * yb + dot_a2t(yt)
+        w = d * rs_all[:n, :] + dot_a2t(rs_all[n:, :])
+        rhs = sigma * x - q - aty + w
+        cand = dot_ki(rhs)
+        xt = select_rows(cand)
+        for _ in range(refine_steps):
+            kx = dot_kc(xt)
+            resid = rhs - select_rows(kx)
+            corr = dot_ki(resid)
+            xt = xt + select_rows(corr)
+        st = jnp.concatenate([d * xt, dot_a2(xt)], axis=0)  # (m, BLK)
+        x_new = alpha * xt + (1.0 - alpha) * x
+        v = alpha * st + (1.0 - alpha) * s
+        s_new = jnp.clip(v + rho_inv * y, l, u)
+        y_new = y + rho * (v - s_new)
+        ax_new = alpha * st + (1.0 - alpha) * ax
+        return x_new, s_new, y_new, ax_new
+
+    x, s, y, ax = jax.lax.fori_loop(
+        0, chunk, body, (x_in[:], s_in[:], y_in[:], ax_in[:])
+    )
+    x_out[:] = x
+    s_out[:] = s
+    y_out[:] = y
+    ax_out[:] = ax
+
+
+def _pick_block_mixed(
+    B: int, n: int, m: int, R: int, refine_steps: int, budget_mb: float = 12.0,
+) -> int:
+    """VMEM block picker for the mixed kernel (same calibration rules as
+    _pick_block_diag: 12 MB budget, pipelined temps doubled, lane blocks
+    are multiples of 128)."""
+    ms = m - n
+    for blk in (2048, 1024, 512, 256, 128):
+        if B % blk:
+            continue
+        lane = (3 * n + 7 * m + 1) * blk * 4
+        temps = 2 * (
+            (2 + 2 * refine_steps) * R * n + 2 * n + 2 * m
+        ) * blk * 4
+        shared = (2 * R * n * n + 2 * ms * n + n + 2 * m * R) * 4
+        if 2 * lane + temps + shared < int(budget_mb * 2**20):
+            return blk
+    return 0
+
+
+def _iterate_chunk_mixed_T(
+    op: AdmmOperator,
+    qT: Array,  # (n, B)
+    lT: Array,  # (m, B)
+    uT: Array,
+    idx: Array,  # (B,)
+    xT: Array,  # (n, B)
+    sT: Array,  # (m, B)
+    yT: Array,
+    axT: Array,
+    chunk: int,
+    config: AdmmConfig,
+    interpret: bool = False,
+    dot_mode: Optional[str] = None,
+) -> Tuple[Array, Array, Array, Array]:
+    """Transposed-core mixed chunk (box-diagonal + dense state rows)."""
+    n, B = qT.shape
+    m = lT.shape[0]
+    R = int(op.rho_grid.shape[0])
+    budget = 9.5 if dot_mode is not None else 12.0
+    blk = B if (B < 128 and interpret) else _pick_block_mixed(
+        B, n, m, R, int(config.refine_steps), budget_mb=budget
+    )
+    if blk == 0:
+        raise ValueError(
+            f"fused mixed ADMM kernel: no block size fits VMEM for n={n}, "
+            f"m={m}, R={R} — use the vmapped engine"
+        )
+    assert B % blk == 0
+
+    kicat = op.K_invs.reshape(R * n, n)
+    kcat = op.Ks.reshape(R * n, n)
+    a2 = op.A_s[n:, :]
+    a2t = a2.T
+    dvec = jnp.diagonal(op.A_s[:n, :n])[:, None]
+    rhovT = op.rho_vecs.T
+    rhoiT = op.rho_invs.T
+
+    kernel = functools.partial(
+        _iterate_kernel_mixed,
+        R=R,
+        n=int(n),
+        m=int(m),
+        chunk=int(chunk),
+        sigma=float(config.sigma),
+        alpha=float(config.alpha),
+        refine_steps=int(config.refine_steps),
+        dot_mode=str(dot_mode or config.kernel_precision),
+    )
+    shared = pl.BlockSpec(memory_space=pltpu.VMEM)
+    bspec_n = pl.BlockSpec((n, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+    bspec_m = pl.BlockSpec((m, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+    bspec_i = pl.BlockSpec((1, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // blk,),
+        in_specs=[shared] * 7
+        + [bspec_n, bspec_m, bspec_m, bspec_i, bspec_n, bspec_m, bspec_m,
+           bspec_m],
+        out_specs=[bspec_n, bspec_m, bspec_m, bspec_m],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, B), jnp.float32),
+            jax.ShapeDtypeStruct((m, B), jnp.float32),
+            jax.ShapeDtypeStruct((m, B), jnp.float32),
+            jax.ShapeDtypeStruct((m, B), jnp.float32),
+        ],
+        input_output_aliases={11: 0, 12: 1, 13: 2, 14: 3},
+        interpret=interpret,
+    )(
+        kicat, kcat, a2, a2t, dvec, rhovT, rhoiT,
+        qT, lT, uT, idx[None, :].astype(jnp.int32),
+        xT, sT, yT, axT,
+    )
+    return tuple(out)
+
+
 def _iterate_kernel_perr(
     # inputs (VMEM) — unpacked per-rho operands for LARGE problems where the
     # packed blockdiag (R*n, R*(n+m)) operator would not fit VMEM
@@ -700,6 +901,12 @@ def _iterate_chunk(
             op, q_s, l_s, u_s, idx, x, s, y, ax, chunk, config, interpret,
             dot_mode=dot_mode,
         )
+    if getattr(op, "mixed_a", False):
+        out = _iterate_chunk_mixed_T(
+            op, q_s.T, l_s.T, u_s.T, idx, x.T, s.T, y.T, ax.T,
+            chunk, config, interpret, dot_mode,
+        )
+        return tuple(o.T for o in out)
     B, n = q_s.shape
     m = l_s.shape[1]
     R = op.rho_grid.shape[0]
@@ -785,7 +992,7 @@ def _solve_batch_fused_diag(
     config: AdmmConfig,
     interpret: bool,
 ):
-    """Fully TRANSPOSED solve driver for diagonal-A operators.
+    """Fully TRANSPOSED solve driver for diagonal-A and MIXED operators.
 
     The v3 kernel keeps lane state in the (n, B) lane-last layout; the r5
     first cut transposed at every chunk boundary (24 relayouts of the full
@@ -805,16 +1012,32 @@ def _solve_batch_fused_diag(
     ck = max(1, int(config.check_interval))
     H = jax.lax.Precision.HIGHEST
 
+    mixed = bool(getattr(op, "mixed_a", False))
+    n = op.A_s.shape[1]
     D_c = op.D[:, None]  # (n, 1)
-    E_c = op.E[:, None]
-    dvec = jnp.diagonal(op.A_s)[:, None]
+    E_c = op.E[:, None]  # (m, 1)
+    dvec = jnp.diagonal(op.A_s[:n, :n])[:, None]
+    a2 = op.A_s[n:, :] if mixed else None  # (ms, n) dense tail
     qT = (op.c * op.D)[:, None] * q.T  # (n, B)
-    lT = E_c * l.T
+    lT = E_c * l.T  # (m, B)
     uT = E_c * u.T
+    H = jax.lax.Precision.HIGHEST
+
+    def a_apply(x):  # A_s @ x in the transposed layout
+        if mixed:
+            return jnp.concatenate(
+                [dvec * x, jnp.matmul(a2, x, precision=H)], axis=0
+            )
+        return dvec * x
+
+    def at_apply(y):  # A_s' y
+        if mixed:
+            return dvec * y[:n, :] + jnp.matmul(a2.T, y[n:, :], precision=H)
+        return dvec * y
 
     x = jnp.zeros_like(qT) if z0 is None else z0.T / D_c
-    y = jnp.zeros_like(qT) if y0 is None else op.c * y0.T / E_c
-    ax = dvec * x
+    y = jnp.zeros_like(lT) if y0 is None else op.c * y0.T / E_c
+    ax = a_apply(x)
     idx0 = jnp.full((B,), start_rho_index(config) if R > 1 else 0, jnp.int32)
     rho_inv0 = jnp.take(op.rho_invs, idx0, axis=0).T  # (m, B)
     s = jnp.clip(ax + rho_inv0 * y, lT, uT)
@@ -828,7 +1051,7 @@ def _solve_batch_fused_diag(
     def diagnostics(x, s, y, ax):
         r_prim = jnp.max(jnp.abs(E_inv * (ax - s)), axis=0)
         Px = jnp.matmul(op.P_s, x, precision=H)  # P_s symmetric
-        Aty = dvec * y
+        Aty = at_apply(y)
         r_dual = c_inv * jnp.max(jnp.abs(D_inv * (Px + qT + Aty)), axis=0)
         prim_norm = jnp.maximum(
             jnp.max(jnp.abs(E_inv * ax), axis=0),
@@ -871,23 +1094,24 @@ def _solve_batch_fused_diag(
 
     def body(state):
         x, s, y, ax, idx, it, rp, rd, done, itl, bad = state
+        chunk_fn = _iterate_chunk_mixed_T if mixed else _iterate_chunk_diag_T
         if hybrid:
             r_active = jnp.max(jnp.where(done, 0.0, jnp.maximum(rp, rd)))
             chunk_args = (idx, x, s, y, ax)
             x2, s2, y2, ax2 = jax.lax.cond(
                 r_active <= config.hybrid_switch_residual,
-                lambda a: _iterate_chunk_diag_T(
+                lambda a: chunk_fn(
                     op, qT, lT, uT, *a, ck, config, interpret,
                     dot_mode="highest",
                 ),
-                lambda a: _iterate_chunk_diag_T(
+                lambda a: chunk_fn(
                     op, qT, lT, uT, *a, ck, config, interpret,
                     dot_mode="bf16x3",
                 ),
                 chunk_args,
             )
         else:
-            x2, s2, y2, ax2 = _iterate_chunk_diag_T(
+            x2, s2, y2, ax2 = chunk_fn(
                 op, qT, lT, uT, idx, x, s, y, ax, ck, config, interpret
             )
         keep = done[None, :]
@@ -960,7 +1184,8 @@ def solve_batch_fused(
     # tile is 128 — Mosaic rejects smaller lane blocks on hardware (r5),
     # so any batch is padded up to the alignment (replicating the last
     # lane — it converges like any real lane) and sliced back.
-    align = 128 if (getattr(op, "diag_a", False) and not interpret) else 8
+    transposed = getattr(op, "diag_a", False) or getattr(op, "mixed_a", False)
+    align = 128 if (transposed and not interpret) else 8
     if (B_orig >= 8 or align == 128) and B_orig % align:
         pad_to = -(-B_orig // align) * align
         rep = lambda a: (
@@ -974,7 +1199,7 @@ def solve_batch_fused(
             op, rep(q), rep(l), rep(u), rep(z0), rep(y0), config, interpret
         )
         return tuple(o[:B_orig] for o in out)
-    if getattr(op, "diag_a", False):
+    if getattr(op, "diag_a", False) or getattr(op, "mixed_a", False):
         return _solve_batch_fused_diag(
             op, q, l, u, z0, y0, config, interpret
         )

@@ -308,6 +308,7 @@ def _kernel_viable(controller: MpcController) -> bool:
         int(eng.op.rho_grid.shape[0]),
         int(eng.config.refine_steps),
         diag_a=getattr(eng.op, "diag_a", False),
+        mixed_a=getattr(eng.op, "mixed_a", False),
     )
 
 
@@ -357,6 +358,14 @@ def fused_supported(controller: MpcController) -> bool:
             # distribution is the committed basis for this band.
             if R >= 4 and rs >= 1 and n <= 64:
                 return False
+            return True
+        if getattr(eng.op, "mixed_a", False):
+            # mixed transposed kernel (r5): box rows on the VPU, dense
+            # state rows on the MXU. Measured (TPU v5e, B=4096,
+            # interleaved min-estimator, state-constrained QTP,
+            # R=5/refine=1): h20 80.6k vs vmap 37.0k; h50 39.8k vs
+            # 17.3k solves/s — fused wins wherever it places; the old
+            # v2-dense band does not apply.
             return True
         if R >= 4 and rs >= 1 and 24 <= n <= 64:
             return False  # measured vmap win (see docstring table)

@@ -53,6 +53,33 @@ def test_fused_non_multiple_of_8_batch(controller):
     )
 
 
+def test_mixed_kernel_matches_reference_engine():
+    """r5 mixed kernel (diagonal box block + dense state rows): parity with
+    the vmapped engine on state-constrained and terminal-row configs."""
+    sys = qtp.linearized_discrete_system()
+    x0s = _x0s(8, seed=11)
+    for kwargs in (
+        dict(mpc_state_constraint=True),
+        dict(mpc_state_constraint=True, mpc_terminal_ingredient="neighborhood"),
+    ):
+        c = mpc.proceed_controller(
+            sys, "model_predictive_control", 10, 5.0, np.full(4, 0.65),
+            np.full(2, 1.2), **kwargs,
+        )
+        assert c.engine.op.mixed_a
+        sol_f, _, _, df = parallel.solve_batch_fused(c, x0s)
+        sol_v, _, _, dv = parallel.solve_batch(c, x0s)
+        # borderline lanes near the iteration budget may certify on one
+        # path and not the other (round-off ordering); the kernel must not
+        # LOSE lanes, and commonly-converged lanes must agree
+        assert int(df.n_converged) >= int(dv.n_converged)
+        both = (np.asarray(sol_f.status) == 0) & (np.asarray(sol_v.status) == 0)
+        assert both.sum() >= 4
+        np.testing.assert_allclose(
+            np.asarray(sol_f.u)[both], np.asarray(sol_v.u)[both], atol=5e-4
+        )
+
+
 def test_fused_warm_start(controller):
     x0s = _x0s(8, seed=1)
     sol1, wz, wy, d1 = parallel.solve_batch_fused(controller, x0s)

@@ -134,21 +134,25 @@ def test_fused_routing_shape_aware():
     assert not parallel.fused_supported(c_diag_band)
     assert parallel.fused_supported(mk(20, lean))  # lean diag: fused
     assert parallel.fused_supported(mk(50, wide))  # n=100 diag: fused
-    mk_dense = lambda N, cfg: mpc.proceed_controller(
+    mk_sc = lambda N, cfg: mpc.proceed_controller(
         sys, "model_predictive_control", N, 5.0, np.full(4, 0.65),
         np.full(2, 1.2), engine="condensed", admm_config=cfg,
         mpc_state_constraint=True,
     )
-    c_band = mk_dense(20, wide)  # n=40 dense: inside the measured vmap band
-    assert not c_band.engine.op.diag_a
-    assert not parallel.fused_supported(c_band)
-    assert parallel.fused_supported(mk_dense(20, lean))  # lean grid: fused
-    assert parallel.fused_supported(mk_dense(5, wide))  # n=10 < band: fused
-    assert parallel.fused_supported(mk_dense(50, wide))  # n=100 > band: fused
+    # state-constrained operators are MIXED (diagonal box block + dense
+    # state rows) and run the r5 transposed mixed kernel — measured fused
+    # wins 2.2x over vmap at the old band's shapes, so they route fused
+    c_mixed = mk_sc(20, wide)
+    assert c_mixed.engine.op.mixed_a and not c_mixed.engine.op.diag_a
+    assert parallel.fused_supported(c_mixed)
+    assert parallel.fused_supported(mk_sc(50, wide))
+    assert parallel.fused_supported(mk_sc(5, wide))
 
+    # a vmap-routed case still honors the solve_batch contract through the
+    # auto path (diag wide-grid+refined at small n routes vmap)
     x0s = _x0_batch(4, seed=3)
-    sol_a, wz_a, wy_a, diag = parallel.solve_batch_auto(c_band, x0s)
-    sol_v, wz_v, wy_v, _ = parallel.solve_batch(c_band, x0s)
+    sol_a, wz_a, wy_a, diag = parallel.solve_batch_auto(c_diag_band, x0s)
+    sol_v, wz_v, wy_v, _ = parallel.solve_batch(c_diag_band, x0s)
     assert int(diag.n_total) == 4
     np.testing.assert_array_equal(np.asarray(sol_a.u), np.asarray(sol_v.u))
     np.testing.assert_array_equal(np.asarray(wy_a), np.asarray(wy_v))
