@@ -151,6 +151,27 @@ def admm_diag_iteration_model(
     return {"useful_flops": useful, "padded_flops": padded, "block": block}
 
 
+def admm_mixed_iteration_model(
+    n: int, m: int, R: int, block: int = 1024, refine_steps: int = 0
+) -> Dict[str, float]:
+    """Per-iteration flops of the v3-mixed transposed kernel
+    (ops/admm_pallas._iterate_kernel_mixed): the diagonal box block is VPU
+    work; the MXU sees the A2 (ms, n) dense tail twice per iteration
+    (A2'y-and-A2'(rho s) against the lane axis, A2 xt for the image), the
+    K-solve candidates once, plus two K dots per refinement step."""
+    ms = m - n
+    a2_flops = 2.0 * _matmul_flops(n, ms, block, True)  # A2' applications
+    a2_img = _matmul_flops(ms, n, block, True)  # A2 @ xt
+    ksolve = _matmul_flops(R * n, n, block, True)
+    per_refine = 2.0 * _matmul_flops(R * n, n, block, True) + a2_img
+    useful = (
+        2.0 * block * (2.0 * ms * n + n * n + ms * n)
+        + refine_steps * 2.0 * block * (2 * n * n + ms * n)
+    )
+    padded = a2_flops + ksolve + a2_img + refine_steps * per_refine
+    return {"useful_flops": useful, "padded_flops": padded, "block": block}
+
+
 def admm_diag_chunk_bytes(n: int, R: int, block: int = 1024) -> float:
     """HBM bytes per v3 kernel launch for one block: transposed lane state
     in/out + the (tiny) stacked K operators."""
@@ -188,15 +209,24 @@ def admm_diag_model(n: int, m: int, batch: int) -> Dict[str, float]:
 def _tier_model(op, config, batch: int, iterations: float) -> Dict[str, float]:
     """(padded/useful flops, bytes) for one solver tier executing
     ``iterations`` lockstep iterations over ``batch`` lanes."""
-    from ..ops.admm_pallas import _pick_block, _pick_block_diag
+    from ..ops.admm_pallas import (
+        _pick_block,
+        _pick_block_diag,
+        _pick_block_mixed,
+    )
 
     n = int(op.K_invs.shape[1])
     m = int(op.A_s.shape[0])
     R = int(op.rho_grid.shape[0])
     refine = int(getattr(config, "refine_steps", 0))
     diag_a = bool(getattr(op, "diag_a", False))
+    mixed_a = bool(getattr(op, "mixed_a", False))
     if diag_a:
         block = batch if batch < 8 else _pick_block_diag(batch, n, R, refine)
+    elif mixed_a:
+        block = batch if batch < 8 else _pick_block_mixed(
+            batch, n, m, R, refine
+        )
     else:
         block = batch if batch < 8 else _pick_block(batch, n, m, R, refine)
     # _pick_block returns 0 when no block fits VMEM (such shapes run the
@@ -210,6 +240,9 @@ def _tier_model(op, config, batch: int, iterations: float) -> Dict[str, float]:
     if diag_a:
         it = admm_diag_iteration_model(n, R, block, refine_steps=refine)
         kernel_bytes = admm_diag_chunk_bytes(n, R, block)
+    elif mixed_a:
+        it = admm_mixed_iteration_model(n, m, R, block, refine_steps=refine)
+        kernel_bytes = admm_chunk_bytes(n, m, R, block)  # lane-state bound
     else:
         it = admm_iteration_model(n, m, R, block, refine_steps=refine)
         kernel_bytes = admm_chunk_bytes(n, m, R, block)
